@@ -1,0 +1,243 @@
+"""Frame-loop driver: the per-frame state machine.
+
+Mirrors the reference driver (/root/reference/src/vp8enc.cpp:315-499):
+ref-frame bookkeeping (golden=key; altref every altref_range), key/inter
+dispatch, scene-change and SSIM-forced keyframes, loop filter, entropy
+coding, partition gathering.
+
+Two interchangeable pixel backends produce identical streams:
+  * "spec" — sequential numpy oracle (vp8oclenc_tpu.spec)
+  * "tpu"  — jitted JAX/Pallas wavefront + vectorized kernels (vp8oclenc_tpu.ops)
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+import numpy as np
+
+from vp8oclenc_tpu.config import EncoderConfig
+from vp8oclenc_tpu.entropy import tokens as TOK
+from vp8oclenc_tpu.entropy.boolcoder import pack_bools
+from vp8oclenc_tpu.entropy.header import encode_frame_header
+from vp8oclenc_tpu.io.y4m import Frame, pad_frame
+from vp8oclenc_tpu.pipeline.segments import SegmentData, prepare_segments
+from vp8oclenc_tpu.spec import intra as SPEC_INTRA
+from vp8oclenc_tpu.spec import loopfilter as SPEC_LF
+from vp8oclenc_tpu.tables import ARE4X4, ARE16X16, INTRA_SEGMENT, LAST
+
+
+@dataclass
+class FrameData:
+    """Everything the entropy layer needs about one encoded frame."""
+    mbw: int
+    mbh: int
+    is_key: bool
+    is_golden: bool
+    is_altref: bool
+    levels: np.ndarray            # (mbc, 25, 16) int16 zigzag levels
+    parts: np.ndarray             # (mbc,)
+    segment_ids: np.ndarray       # (mbc,)
+    modes: np.ndarray             # (mbc, 16) bmodes for intra MBs
+    is_inter: np.ndarray          # (mbc,) bool
+    ref_frame: np.ndarray         # (mbc,)
+    mvs: np.ndarray               # (mbc, 4, 2) int16 (x, y) qpel quarters
+    replaced: int = 0
+    # filled by entropy stage
+    skip: np.ndarray = None
+    skip_prob: int = 0
+    coeff_probs: np.ndarray = None
+    coeff_update_flags: np.ndarray = None
+
+
+@dataclass
+class EncoderStats:
+    scene_changes_by_color: int = 0
+    scene_changes_by_ssim: int = 0
+    scene_changes_by_replaced: int = 0
+
+
+class Encoder:
+    """Single-stream VP8 encoder."""
+
+    def __init__(self, cfg: EncoderConfig, width: int, height: int,
+                 backend: str = "spec") -> None:
+        self.cfg = cfg
+        self.width = width
+        self.height = height
+        self.wrk_w = (width + 15) & ~15
+        self.wrk_h = (height + 15) & ~15
+        self.mbw = self.wrk_w // 16
+        self.mbh = self.wrk_h // 16
+        self.mbc = self.mbw * self.mbh
+        self.backend = backend
+        self.stats = EncoderStats()
+        # frame state
+        self.frame_number = 0
+        self.frames_until_key = 1
+        self.frames_until_altref = 2
+        self.last_key_detect = 0
+        self._scene_holdover = False
+        self.prev_is_golden = False
+        self.prev_is_altref = False
+        self.golden_frame_number = -1
+        self.altref_frame_number = -1
+        # reference pixels (post loop filter)
+        self.recon: Optional[tuple] = None        # LAST (y, u, v)
+        self.golden_y = None
+        self.golden_u = None
+        self.golden_v = None
+        self.altref_y = None
+        self.altref_u = None
+        self.altref_v = None
+        self.last_u = None                        # previous source chroma
+        self.last_v = None
+        if backend == "tpu":
+            from vp8oclenc_tpu.ops.backend import TPUBackend
+            self.tpu = TPUBackend(cfg, self.wrk_w, self.wrk_h)
+        else:
+            self.tpu = None
+
+    # ---- scene change (reference vp8enc.cpp:265-311) ----
+    def _scene_change(self, u: np.ndarray, v: np.ndarray) -> bool:
+        if self.last_u is None:
+            return False
+        udiff = int(np.abs(self.last_u.astype(np.int64) - u).sum()) // u.size
+        vdiff = int(np.abs(self.last_v.astype(np.int64) - v).sum()) // v.size
+        detect = (udiff > 7) or (vdiff > 7) or (udiff + vdiff > 10)
+        fn = self.frame_number
+        if detect and (fn - self.last_key_detect) < 4:
+            self.last_key_detect = fn
+            self._scene_holdover = True
+            return False
+        if detect and (fn - self.last_key_detect) >= 4:
+            return True
+        if self._scene_holdover:
+            if (fn - self.last_key_detect) >= 4:
+                self._scene_holdover = False
+                return True
+            return False
+        return False
+
+    # ---- keyframe path ----
+    def _encode_key(self, y, u, v, seg: SegmentData) -> FrameData:
+        self.frames_until_key = self.cfg.gop_size
+        self.frames_until_altref = self.cfg.altref_range
+        self.last_key_detect = self.frame_number
+        self.golden_frame_number = self.frame_number
+        self.altref_frame_number = self.frame_number
+
+        if self.tpu is not None:
+            levels, modes, recon = self.tpu.encode_intra_frame(y, u, v, seg)
+        else:
+            levels, modes, recon = SPEC_INTRA.encode_intra_frame(y, u, v, seg)
+        self.recon = [r.copy() for r in recon]
+        mbc = self.mbc
+        return FrameData(
+            mbw=self.mbw, mbh=self.mbh, is_key=True, is_golden=True,
+            is_altref=True, levels=levels,
+            parts=np.full(mbc, ARE4X4, dtype=np.int32),
+            segment_ids=np.full(mbc, INTRA_SEGMENT, dtype=np.int32),
+            modes=modes,
+            is_inter=np.zeros(mbc, dtype=bool),
+            ref_frame=np.full(mbc, LAST, dtype=np.int32),
+            mvs=np.zeros((mbc, 4, 2), dtype=np.int16))
+
+    # ---- entropy + assembly (shared) ----
+    def _finish_frame(self, fd: FrameData, seg: SegmentData) -> bytes:
+        cfg = self.cfg
+        skip, nzc = TOK.mb_skip_flags(fd.levels, fd.parts)
+        fd.skip = skip
+        n_coded = int(np.sum(~skip))
+        fd.skip_prob = int(np.clip(n_coded * 256 // self.mbc, 2, 254))
+
+        tokdata = TOK.tokenize_frame(fd.levels, fd.parts, self.mbw, self.mbh)
+        probs, flags = TOK.count_probs(tokdata, cfg.num_partitions,
+                                       self.mbw, self.mbh)
+        fd.coeff_probs = probs
+        fd.coeff_update_flags = flags
+
+        order = TOK.emission_order(fd.parts, skip, self.mbw, self.mbh,
+                                   cfg.num_partitions)
+        records = TOK.build_token_records(tokdata, order)
+        partitions = []
+        for rec in records:
+            p, b = TOK.records_to_bools(rec, probs)
+            partitions.append(pack_bools(p, b))
+
+        header = encode_frame_header(fd, seg, cfg, self.width, self.height)
+
+        out = bytearray(header)
+        for part in partitions[:-1]:
+            n = len(part)
+            out += bytes([n & 0xFF, (n >> 8) & 0xFF, (n >> 16) & 0xFF])
+        for part in partitions:
+            out += part
+        return bytes(out)
+
+    def _loop_filter(self, fd: FrameData, seg: SegmentData) -> None:
+        skip, _ = TOK.mb_skip_flags(fd.levels, fd.parts)
+        inner = (fd.parts != ARE16X16) | (~skip)
+        ry, ru, rv = self.recon
+        if self.tpu is not None:
+            ry, ru, rv = self.tpu.loop_filter(ry, ru, rv, fd.segment_ids,
+                                              inner, seg)
+            self.recon = [ry, ru, rv]
+        else:
+            SPEC_LF.loop_filter_frame(ry, ru, rv, fd.segment_ids, inner, seg)
+
+    def encode_frame(self, frame: Frame) -> bytes:
+        padded = pad_frame(frame)
+        y, u, v = padded.y, padded.u, padded.v
+
+        self.frames_until_key -= 1
+        self.frames_until_altref -= 1
+        is_key = self.frames_until_key < 1
+
+        if not is_key and self._scene_change(u, v):
+            self.stats.scene_changes_by_color += 1
+            is_key = True
+
+        is_golden = is_key
+        is_altref = (self.frames_until_altref < 1) or is_key
+        if is_altref:
+            self.frames_until_altref = self.cfg.altref_range
+
+        if is_key:
+            seg = prepare_segments(self.cfg, y, True, is_altref)
+            fd = self._encode_key(y, u, v, seg)
+        else:
+            seg = prepare_segments(self.cfg, y, False, is_altref)
+            fd = self._encode_inter(y, u, v, seg, is_golden, is_altref)
+            if fd is None:   # redo as key (bad inter result)
+                is_key = is_golden = is_altref = True
+                seg = prepare_segments(self.cfg, y, True, is_altref)
+                fd = self._encode_key(y, u, v, seg)
+
+        self._loop_filter(fd, seg)
+        payload = self._finish_frame(fd, seg)
+
+        # reference bookkeeping for the next frame
+        if is_golden:
+            self.golden_frame_number = self.frame_number
+            self.golden_y = self.recon[0].copy()
+            self.golden_u = self.recon[1].copy()
+            self.golden_v = self.recon[2].copy()
+        if is_altref:
+            self.altref_frame_number = self.frame_number
+            self.altref_y = self.recon[0].copy()
+            self.altref_u = self.recon[1].copy()
+            self.altref_v = self.recon[2].copy()
+        self.prev_is_golden = is_golden
+        self.prev_is_altref = is_altref
+        self.last_u = u.copy()
+        self.last_v = v.copy()
+        self.frame_number += 1
+        return payload
+
+    # ---- inter path (backend-provided; see ops/ and spec/inter.py) ----
+    def _encode_inter(self, y, u, v, seg: SegmentData, is_golden: bool,
+                      is_altref: bool) -> Optional[FrameData]:
+        from vp8oclenc_tpu.spec import inter as SPEC_INTER
+        return SPEC_INTER.encode_inter_frame(self, y, u, v, seg,
+                                             is_golden, is_altref)
