@@ -1,0 +1,340 @@
+"""Spec-reference (numpy) inter frame path.
+
+The full inter pipeline of the reference GPU sequencer
+(/root/reference/src/inter_part.h:96-384): hierarchical ME over 3 reference
+frames, qpel refinement, reference selection, 8x8->16x16 packing, six-tap
+predictors, progressive per-segment requantization (LQ->UQ) driven by per-MB
+SSIM, WHT/Y2 for 16x16 MBs, reconstruction, and the SSIM quality controller
+with intra replacement (vp8enc.cpp:231-263, intra_part.h:855-1087).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from vp8oclenc_tpu.pipeline.segments import SegmentData
+from vp8oclenc_tpu.spec import intra as SPEC_INTRA
+from vp8oclenc_tpu.spec import motion as M
+from vp8oclenc_tpu.spec import transforms as T
+from vp8oclenc_tpu.tables import (ALTREF, ARE4X4, ARE8X8, ARE16X16, GOLDEN,
+                                  LAST, LQ_SEGMENT)
+
+SSIM_C1 = 0.01 * 0.01 * 255 * 255
+SSIM_C2 = 0.03 * 0.03 * 255 * 255
+
+
+def _plane_blocks(p: np.ndarray, size: int) -> np.ndarray:
+    """(H,W) -> (nby, nbx, size, size)"""
+    H, W = p.shape
+    return p.reshape(H // size, size, W // size, size).transpose(0, 2, 1, 3)
+
+
+def _blocks_plane(b: np.ndarray) -> np.ndarray:
+    nby, nbx, s, _ = b.shape
+    return b.transpose(0, 2, 1, 3).reshape(nby * s, nbx * s)
+
+
+def _ssim_plane_mb(src: np.ndarray, rec: np.ndarray, size: int) -> np.ndarray:
+    """Per-MB single-scale SSIM with the DC-difference penalty
+    (count_SSIM_luma/chroma, GPU_kernels.cl:1610-2095).  Returns (mbc,)."""
+    s = _plane_blocks(src.astype(np.float32), size)
+    r = _plane_blocks(rec.astype(np.float32), size)
+    m1 = s.mean(axis=(2, 3))
+    m2 = r.mean(axis=(2, 3))
+    d1 = ((s - m1[..., None, None]) ** 2).mean(axis=(2, 3))
+    d2 = ((r - m2[..., None, None]) ** 2).mean(axis=(2, 3))
+    c = ((s - m1[..., None, None]) * (r - m2[..., None, None])).mean(axis=(2, 3))
+    ssim = ((2 * m1 * m2 + SSIM_C1) * (2 * c + SSIM_C2)) / \
+           ((m1 * m1 + m2 * m2 + SSIM_C1) * (d1 + d2 + SSIM_C2))
+    dc = np.abs(m1 - m2)
+    ssim = ssim - np.where(dc > 4, dc * 0.02, 0.0)
+    return ssim.reshape(-1)
+
+
+def mb_ssim(y, ry, u, ru, v, rv) -> np.ndarray:
+    return (_ssim_plane_mb(y, ry, 16) + _ssim_plane_mb(u, ru, 8)
+            + _ssim_plane_mb(v, rv, 8)) / 3.0
+
+
+def _quarter_map_luma(mbw):
+    def f(by, bx):
+        mb = (by // 4) * mbw + (bx // 4)
+        q = ((by % 4) // 2) * 2 + ((bx % 4) // 2)
+        return mb, q
+    return f
+
+
+def _quarter_map_chroma(mbw):
+    def f(by, bx):
+        mb = (by // 2) * mbw + (bx // 2)
+        q = (by % 2) * 2 + (bx % 2)
+        return mb, q
+    return f
+
+
+def transform_mb_luma(res_blocks: np.ndarray, parts: np.ndarray,
+                      y_dc_q, y_ac_q, y2_dc_q, y2_ac_q):
+    """Per-MB luma transform with Y2 handling.
+
+    res_blocks: (mbc, 16, 4, 4) int32 residuals (block raster order in MB).
+    Quant args: scalars or (mbc,) arrays.  Returns (levels (mbc,16,16) zigzag,
+    y2_levels (mbc,16) zigzag, rec_res (mbc,16,4,4) reconstructed residual).
+    """
+    mbc = res_blocks.shape[0]
+    coeffs = T.fdct4x4(res_blocks)                         # (mbc,16,4,4)
+    has_y2 = (parts == ARE16X16)
+
+    bc = lambda q: np.broadcast_to(np.asarray(q), (mbc,)).astype(np.int64)
+    y_dc_q, y_ac_q = bc(y_dc_q), bc(y_ac_q)
+    y2_dc_q, y2_ac_q = bc(y2_dc_q), bc(y2_ac_q)
+
+    # DC of 16x16 MBs goes through Y2 (quantizer 1 on the Y path)
+    dc_q_eff = np.where(has_y2, 1, y_dc_q)
+    levels = T.quant4x4(coeffs, dc_q_eff[:, None], y_ac_q[:, None])
+    dq = T.dequant4x4(levels, dc_q_eff[:, None], y_ac_q[:, None])
+
+    # Y2: WHT of the 16 raw DCs
+    dcs = coeffs[:, :, 0, 0].reshape(mbc, 4, 4)
+    y2c = T.fwht4x4(dcs)
+    y2_levels = T.quant4x4(y2c, y2_dc_q, y2_ac_q)
+    y2_dq = T.dequant4x4(y2_levels, y2_dc_q, y2_ac_q)
+    y2_rec_dc = T.iwht4x4(y2_dq).reshape(mbc, 16)
+
+    dq[:, :, 0, 0] = np.where(has_y2[:, None], y2_rec_dc, dq[:, :, 0, 0])
+    rec_res = T.idct4x4(dq)
+
+    levels_z = T.zigzag(levels)
+    levels_z[:, :, 0] = np.where(has_y2[:, None], 0, levels_z[:, :, 0])
+    y2_z = np.where(has_y2[:, None], T.zigzag(y2_levels), 0)
+    return levels_z, y2_z, rec_res
+
+
+def transform_mb_chroma(res_blocks: np.ndarray, dc_q, ac_q):
+    """res_blocks: (mbc, 4, 4, 4) -> (levels zigzag (mbc,4,16), rec_res)."""
+    mbc = res_blocks.shape[0]
+    coeffs = T.fdct4x4(res_blocks)
+    dc_q = np.broadcast_to(np.asarray(dc_q), (mbc,)).astype(np.int64)[:, None]
+    ac_q = np.broadcast_to(np.asarray(ac_q), (mbc,)).astype(np.int64)[:, None]
+    levels = T.quant4x4(coeffs, dc_q, ac_q)
+    rec_res = T.idct4x4(T.dequant4x4(levels, dc_q, ac_q))
+    return T.zigzag(levels), rec_res
+
+
+def _mb_blocks_luma(plane: np.ndarray, mbw: int, mbh: int) -> np.ndarray:
+    """(H,W) -> (mbc, 16, 4, 4) 4x4 blocks in raster order within each MB."""
+    b = plane.reshape(mbh, 4, 4, mbw, 4, 4)
+    # dims: mby, block_row, pix_row, mbx, block_col, pix_col
+    return b.transpose(0, 3, 1, 4, 2, 5).reshape(mbh * mbw, 16, 4, 4)
+
+
+def _luma_from_mb_blocks(blocks: np.ndarray, mbw: int, mbh: int) -> np.ndarray:
+    b = blocks.reshape(mbh, mbw, 4, 4, 4, 4).transpose(0, 2, 4, 1, 3, 5)
+    return b.reshape(mbh * 16, mbw * 16)
+
+
+def _mb_blocks_chroma(plane: np.ndarray, mbw: int, mbh: int) -> np.ndarray:
+    b = plane.reshape(mbh, 2, 4, mbw, 2, 4)
+    return b.transpose(0, 3, 1, 4, 2, 5).reshape(mbh * mbw, 4, 4, 4)
+
+
+def _chroma_from_mb_blocks(blocks: np.ndarray, mbw: int, mbh: int) -> np.ndarray:
+    b = blocks.reshape(mbh, mbw, 2, 2, 4, 4).transpose(0, 2, 4, 1, 3, 5)
+    return b.reshape(mbh * 8, mbw * 8)
+
+
+def encode_inter_frame(enc, y, u, v, seg: SegmentData, is_golden: bool,
+                       is_altref: bool):
+    """Full inter frame; returns FrameData, or None to force a keyframe redo."""
+    from vp8oclenc_tpu.pipeline.encoder import FrameData
+
+    cfg = enc.cfg
+    mbw, mbh, mbc = enc.mbw, enc.mbh, enc.mbc
+    last_y, last_u, last_v = enc.recon
+
+    use_golden = not enc.prev_is_golden
+    use_altref = (not enc.prev_is_altref) and \
+        (enc.altref_frame_number != enc.golden_frame_number)
+
+    cur_pyr = M.build_pyramid(y)
+    refs = {LAST: (last_y, last_u, last_v)}
+    vecs = {}
+    diffs = {}
+    vecs[LAST], diffs[LAST] = M.hierarchical_search(cur_pyr,
+                                                    M.build_pyramid(last_y))
+    if use_golden:
+        refs[GOLDEN] = (enc.golden_y, enc.golden_u, enc.golden_v)
+        vecs[GOLDEN], diffs[GOLDEN] = M.hierarchical_search(
+            cur_pyr, M.build_pyramid(enc.golden_y))
+    if use_altref:
+        refs[ALTREF] = (enc.altref_y, enc.altref_u, enc.altref_v)
+        vecs[ALTREF], diffs[ALTREF] = M.hierarchical_search(
+            cur_pyr, M.build_pyramid(enc.altref_y))
+
+    # select_reference: per MB, sum of the 4 8x8 Bdiffs; ties prefer
+    # LAST over ALTREF over GOLDEN (GPU_kernels.cl:1205-1283)
+    def mb_sum(d):
+        return d.reshape(mbh, 2, mbw, 2).sum(axis=(1, 3)).reshape(mbc)
+
+    big = np.int64(1) << 62
+    d_last = mb_sum(diffs[LAST])
+    d_alt = mb_sum(diffs[ALTREF]) if use_altref else np.full(mbc, big)
+    d_gold = mb_sum(diffs[GOLDEN]) if use_golden else np.full(mbc, big)
+    ref_sel = np.where(d_last <= d_alt, LAST, ALTREF)
+    d_best = np.minimum(d_last, d_alt)
+    ref_sel = np.where(d_best <= d_gold, ref_sel, GOLDEN)
+
+    # per-MB quarter vectors from the selected reference
+    def mb_quarters(vgrid):
+        q = vgrid.reshape(mbh, 2, mbw, 2, 2).transpose(0, 2, 1, 3, 4)
+        return q.reshape(mbc, 4, 2)
+
+    mvs = mb_quarters(vecs[LAST]).copy()
+    if use_golden:
+        g = mb_quarters(vecs[GOLDEN])
+        mvs = np.where((ref_sel == GOLDEN)[:, None, None], g, mvs)
+    if use_altref:
+        a = mb_quarters(vecs[ALTREF])
+        mvs = np.where((ref_sel == ALTREF)[:, None, None], a, mvs)
+    mvs = mvs.astype(np.int16)
+
+    # pack 8x8 -> 16x16 where all quarters agree
+    same = np.all(mvs == mvs[:, :1, :], axis=(1, 2))
+    parts = np.where(same, ARE16X16, ARE8X8).astype(np.int32)
+
+    # motion-compensated predictors (per selected reference, whole planes)
+    pred_y = np.zeros_like(y, dtype=np.int32)
+    pred_u = np.zeros_like(u, dtype=np.int32)
+    pred_v = np.zeros_like(v, dtype=np.int32)
+    qmap_l = _quarter_map_luma(mbw)
+    qmap_c = _quarter_map_chroma(mbw)
+    for r, (ry_, ru_, rv_) in refs.items():
+        sel = ref_sel == r
+        if not np.any(sel):
+            continue
+        py = M.mc_predict_plane(ry_, mvs, qmap_l, 4)
+        pu = M.mc_predict_plane(ru_, mvs, qmap_c, 8)
+        pv = M.mc_predict_plane(rv_, mvs, qmap_c, 8)
+        selg = sel.reshape(mbh, mbw)
+        m_l = np.kron(selg, np.ones((16, 16), dtype=bool))
+        m_c = np.kron(selg, np.ones((8, 8), dtype=bool))
+        pred_y = np.where(m_l, py, pred_y)
+        pred_u = np.where(m_c, pu, pred_u)
+        pred_v = np.where(m_c, pv, pred_v)
+
+    res_y = _mb_blocks_luma(y.astype(np.int32) - pred_y, mbw, mbh)
+    res_u = _mb_blocks_chroma(u.astype(np.int32) - pred_u, mbw, mbh)
+    res_v = _mb_blocks_chroma(v.astype(np.int32) - pred_v, mbw, mbh)
+    pred_y_b = _mb_blocks_luma(pred_y, mbw, mbh)
+    pred_u_b = _mb_blocks_chroma(pred_u, mbw, mbh)
+    pred_v_b = _mb_blocks_chroma(pred_v, mbw, mbh)
+
+    # progressive per-segment requantization LQ -> UQ
+    ssim_target = cfg.ssim_target
+    levels = np.zeros((mbc, 25, 16), dtype=np.int16)
+    segment_ids = np.full(mbc, LQ_SEGMENT, dtype=np.int32)
+    cur_ssim = np.full(mbc, -2.0, dtype=np.float64)
+    rec_y_b = np.zeros_like(pred_y_b)
+    rec_u_b = np.zeros_like(pred_u_b)
+    rec_v_b = np.zeros_like(pred_v_b)
+
+    for sid in range(LQ_SEGMENT, -1, -1):
+        active = cur_ssim <= ssim_target
+        if not np.any(active):
+            break
+        lz, y2z, rr = transform_mb_luma(
+            res_y, parts, int(seg.y_dc_q[sid]), int(seg.y_ac_q[sid]),
+            int(seg.y2_dc_q[sid]), int(seg.y2_ac_q[sid]))
+        uz, ur = transform_mb_chroma(res_u, int(seg.uv_dc_q[sid]),
+                                     int(seg.uv_ac_q[sid]))
+        vz, vr = transform_mb_chroma(res_v, int(seg.uv_dc_q[sid]),
+                                     int(seg.uv_ac_q[sid]))
+        am = active
+        segment_ids = np.where(am, sid, segment_ids)
+        levels[am, :16, :] = lz[am].astype(np.int16)
+        levels[am, 16:20, :] = uz[am].astype(np.int16)
+        levels[am, 20:24, :] = vz[am].astype(np.int16)
+        levels[am, 24, :] = y2z[am].astype(np.int16)
+        rec_y_b[am] = np.clip(pred_y_b[am] + rr[am], 0, 255)
+        rec_u_b[am] = np.clip(pred_u_b[am] + ur[am], 0, 255)
+        rec_v_b[am] = np.clip(pred_v_b[am] + vr[am], 0, 255)
+        ry = _luma_from_mb_blocks(rec_y_b, mbw, mbh)
+        ru = _chroma_from_mb_blocks(rec_u_b, mbw, mbh)
+        rv = _chroma_from_mb_blocks(rec_v_b, mbw, mbh)
+        new_ssim = mb_ssim(y, ry, u, ru, v, rv)
+        cur_ssim = np.where(am, new_ssim, cur_ssim)
+
+    recon_y = _luma_from_mb_blocks(rec_y_b, mbw, mbh).astype(np.uint8)
+    recon_u = _chroma_from_mb_blocks(rec_u_b, mbw, mbh).astype(np.uint8)
+    recon_v = _chroma_from_mb_blocks(rec_v_b, mbw, mbh).astype(np.uint8)
+
+    is_inter = np.ones(mbc, dtype=bool)
+    modes = np.zeros((mbc, 16), dtype=np.int8)
+    replaced = 0
+
+    # SSIM quality controller: try failing MBs as intra (AQ -> HQ -> UQ)
+    if 0.0 < ssim_target:
+        replaced = _intra_replace(enc, y, u, v, recon_y, recon_u, recon_v,
+                                  levels, modes, parts, segment_ids,
+                                  cur_ssim, is_inter, seg, ssim_target)
+    # weaken the loop filter on near-perfect frames (check_SSIM,
+    # vp8enc.cpp:260-261) — runs regardless of the SSIM target
+    if float(cur_ssim.min()) > 0.95:
+        from vp8oclenc_tpu.pipeline.segments import prepare_segments
+        seg2 = prepare_segments(cfg, y, False, is_altref, weaken_filter=True)
+        seg.__dict__.update(seg2.__dict__)
+    if 0.0 < ssim_target:
+        avg = float(cur_ssim.mean())
+        if replaced > mbc // 6 or avg < ssim_target:
+            if avg < ssim_target:
+                enc.stats.scene_changes_by_ssim += 1
+            else:
+                enc.stats.scene_changes_by_replaced += 1
+            return None
+
+    enc.recon = [recon_y, recon_u, recon_v]
+    return FrameData(
+        mbw=mbw, mbh=mbh, is_key=False, is_golden=is_golden,
+        is_altref=is_altref, levels=levels, parts=parts,
+        segment_ids=segment_ids, modes=modes, is_inter=is_inter,
+        ref_frame=ref_sel.astype(np.int32), mvs=mvs, replaced=replaced)
+
+
+def _intra_replace(enc, y, u, v, recon_y, recon_u, recon_v, levels, modes,
+                   parts, segment_ids, cur_ssim, is_inter, seg,
+                   ssim_target) -> int:
+    """test_inter_on_intra over failing MBs, AQ -> HQ -> UQ, raster order
+    (intra_part.h:855-1087; vp8enc.cpp:242-251)."""
+    mbw, mbh, mbc = enc.mbw, enc.mbh, enc.mbc
+    replaced = 0
+    for mbn in range(mbc):
+        if cur_ssim[mbn] > ssim_target:
+            continue
+        mby, mbx = divmod(mbn, mbw)
+        for sid in (2, 1, 0):   # AQ, HQ, UQ
+            if cur_ssim[mbn] > ssim_target:
+                break
+            ry2 = recon_y.copy()
+            ru2 = recon_u.copy()
+            rv2 = recon_v.copy()
+            lv, md = SPEC_INTRA.encode_intra_mb(
+                y, u, v, ry2, ru2, rv2, mbx, mby, mbw,
+                seg.y_dc_q[sid], seg.y_ac_q[sid],
+                seg.uv_dc_q[sid], seg.uv_ac_q[sid])
+            sy = ry2[mby * 16:mby * 16 + 16, mbx * 16:mbx * 16 + 16]
+            su = ru2[mby * 8:mby * 8 + 8, mbx * 8:mbx * 8 + 8]
+            sv = rv2[mby * 8:mby * 8 + 8, mbx * 8:mbx * 8 + 8]
+            oy = y[mby * 16:mby * 16 + 16, mbx * 16:mbx * 16 + 16]
+            ou = u[mby * 8:mby * 8 + 8, mbx * 8:mbx * 8 + 8]
+            ov = v[mby * 8:mby * 8 + 8, mbx * 8:mbx * 8 + 8]
+            test_ssim = float(mb_ssim(oy, sy, ou, su, ov, sv)[0])
+            if test_ssim > cur_ssim[mbn]:
+                cur_ssim[mbn] = test_ssim
+                levels[mbn] = lv
+                levels[mbn, 24] = 0
+                modes[mbn] = md
+                parts[mbn] = ARE4X4
+                segment_ids[mbn] = sid
+                is_inter[mbn] = False
+                recon_y[mby * 16:mby * 16 + 16, mbx * 16:mbx * 16 + 16] = sy
+                recon_u[mby * 8:mby * 8 + 8, mbx * 8:mbx * 8 + 8] = su
+                recon_v[mby * 8:mby * 8 + 8, mbx * 8:mbx * 8 + 8] = sv
+    return int(np.sum(~is_inter))
