@@ -1,0 +1,56 @@
+import numpy as np
+import pytest
+
+from vp8oclenc_tpu.config import EncoderConfig
+from vp8oclenc_tpu.pipeline.segments import prepare_segments
+from vp8oclenc_tpu.spec import intra as SPEC
+from vp8oclenc_tpu.spec import transforms as ST
+
+
+def synth(w, h, seed=0):
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    y = (((xx * 5 + yy * 3) % 220) + rng.integers(0, 35, (h, w))).clip(0, 255)
+    u = ((xx[::2, ::2] * 2 + 30) % 210 + rng.integers(0, 20, (h // 2, w // 2))).clip(0, 255)
+    v = ((yy[::2, ::2] * 3 + 60) % 210 + rng.integers(0, 20, (h // 2, w // 2))).clip(0, 255)
+    return y.astype(np.uint8), u.astype(np.uint8), v.astype(np.uint8)
+
+
+def test_jax_transforms_match_numpy():
+    import jax.numpy as jnp
+    from vp8oclenc_tpu.ops import transforms as JT
+    rng = np.random.default_rng(0)
+    res = rng.integers(-255, 256, (32, 4, 4)).astype(np.int32)
+    assert np.array_equal(np.asarray(JT.fdct4x4(jnp.asarray(res))), ST.fdct4x4(res))
+    c = ST.fdct4x4(res)
+    for dcq, acq in ((4, 4), (17, 25), (157, 284)):
+        ql = ST.quant4x4(c, dcq, acq)
+        assert np.array_equal(
+            np.asarray(JT.quant4x4(jnp.asarray(c), dcq, acq)), ql)
+        dq = ST.dequant4x4(ql, dcq, acq)
+        assert np.array_equal(
+            np.asarray(JT.idct4x4(jnp.asarray(dq))), ST.idct4x4(dq))
+    dcs = rng.integers(-2000, 2000, (8, 4, 4)).astype(np.int32)
+    assert np.array_equal(np.asarray(JT.fwht4x4(jnp.asarray(dcs))), ST.fwht4x4(dcs))
+    w = ST.fwht4x4(dcs)
+    assert np.array_equal(np.asarray(JT.iwht4x4(jnp.asarray(w))), ST.iwht4x4(w))
+    assert np.array_equal(np.asarray(JT.dct_weight(jnp.asarray(res))),
+                          ST.dct_weight(res))
+
+
+@pytest.mark.parametrize("size,qi", [((64, 48), 10), ((96, 80), 35)])
+def test_tpu_intra_matches_spec(size, qi):
+    from vp8oclenc_tpu.ops.intra import encode_intra_frame_tpu
+    w, h = size
+    y, u, v = synth(w, h, seed=qi)
+    cfg = EncoderConfig(qi_min=qi, qi_max=qi)
+    seg = prepare_segments(cfg, y, True, True)
+    lv_s, md_s, rec_s = SPEC.encode_intra_frame(y, u, v, seg)
+    lv_t, md_t, rec_t = encode_intra_frame_tpu(y, u, v, seg)
+    assert np.array_equal(md_t, md_s), \
+        f"modes differ in {np.sum(md_t != md_s)} blocks"
+    assert np.array_equal(rec_t[0], rec_s[0]), \
+        f"recon Y differs: {np.sum(rec_t[0] != rec_s[0])} px"
+    assert np.array_equal(rec_t[1], rec_s[1])
+    assert np.array_equal(rec_t[2], rec_s[2])
+    assert np.array_equal(lv_t, lv_s)

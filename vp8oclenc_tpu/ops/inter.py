@@ -1,0 +1,517 @@
+"""Jitted JAX inter-frame pixel pipeline — TPU counterpart of spec/inter.py.
+
+One fused jit per working resolution covers: downsample pyramid, 5-level
+hierarchical dual-window full search, quarter-pel six-tap refinement,
+reference selection over a batched refs axis, 8x8->16x16 packing, whole-plane
+six-tap motion-compensated prediction, the LQ->UQ progressive segment
+requantization loop with per-MB SSIM, and Y2/WHT handling — the entire
+reference GPU program (/root/reference/src/inter_part.h:96-384 and the
+kernels it launches) as one XLA-compiled function.
+
+The refs axis is batched (LAST/GOLDEN/ALTREF as a leading dim) instead of the
+reference's 3 command queues x 15 kernel instances (init.h:204-225).
+"""
+from __future__ import annotations
+
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vp8oclenc_tpu.ops import transforms as T
+from vp8oclenc_tpu.tables import (ARE8X8, ARE16X16, LQ_SEGMENT,
+                                  SIXTAP_FILTERS)
+
+VECTOR_DIFF_WEIGHT = 64
+BIG = jnp.int32(1 << 28)
+SSIM_C1 = 0.01 * 0.01 * 255 * 255
+SSIM_C2 = 0.03 * 0.03 * 255 * 255
+
+_SIXTAP = jnp.asarray(SIXTAP_FILTERS)
+
+
+# ---------------------------------------------------------------------------
+# pyramid
+# ---------------------------------------------------------------------------
+
+def downsample2(p):
+    h, w = p.shape[-2] // 2, p.shape[-1] // 2
+    q = p[..., : h * 2, : w * 2].astype(jnp.int32)
+    s = (q[..., 0::2, 0::2] + q[..., 0::2, 1::2]
+         + q[..., 1::2, 0::2] + q[..., 1::2, 1::2])
+    return ((s + 2) // 4).astype(jnp.uint8)
+
+
+# ---------------------------------------------------------------------------
+# search
+# ---------------------------------------------------------------------------
+
+def _gather_blocks(plane, py, px, size: int):
+    """plane (..., H, W); py/px (..., n) -> (..., n, size, size), clipped."""
+    H, W = plane.shape[-2], plane.shape[-1]
+    ys = jnp.clip(py[..., None] + jnp.arange(size), 0, H - 1)
+    xs = jnp.clip(px[..., None] + jnp.arange(size), 0, W - 1)
+    return jnp.take_along_axis(
+        jnp.take_along_axis(plane[..., None, :, :], ys[..., :, None], axis=-2
+                            ).astype(jnp.int32),
+        xs[..., None, :], axis=-1)
+
+
+def _block_cost_8x8(cur_blocks, ref_blocks):
+    res = cur_blocks.astype(jnp.int32) - ref_blocks.astype(jnp.int32)
+    s = res.shape[:-2]
+    quads = res.reshape(*s, 2, 4, 2, 4).swapaxes(-3, -2).reshape(*s, 4, 4, 4)
+    return T.dct_weight(quads).sum(axis=-1)
+
+
+def search_level(cur, refs, src_vec, pixel_rate: int, penalty: bool):
+    """cur (H, W); refs (R, H, W); src_vec (R, nbyc, nbxc, 2) or None.
+    Returns (R, nby, nbx, 2) full-res-pixel vectors."""
+    H, W = cur.shape
+    R = refs.shape[0]
+    nbx, nby = W // 8, H // 8
+    n = nbx * nby
+    cx = jnp.tile(jnp.arange(nbx) * 8, nby)
+    cy = jnp.repeat(jnp.arange(nby) * 8, nbx)
+
+    if src_vec is None:
+        v0 = jnp.zeros((R, n, 2), dtype=jnp.int32)
+    else:
+        pby = jnp.clip((cy // 2) // 8, 0, src_vec.shape[1] - 1)
+        pbx = jnp.clip((cx // 2) // 8, 0, src_vec.shape[2] - 1)
+        v = src_vec[:, pby, pbx]                       # (R, n, 2)
+        v0 = jnp.sign(v) * (jnp.abs(v) // pixel_rate)
+    v0x, v0y = v0[..., 0], v0[..., 1]
+
+    cur_blocks = _gather_blocks(cur, cy, cx, 8)        # (n, 8, 8)
+
+    best_cost = jnp.full((R, n), BIG, dtype=jnp.int32)
+    best_x = cx[None] + v0x
+    best_y = cy[None] + v0y
+    zero = jnp.zeros_like(v0x)
+    for bx_, by_ in ((v0x, v0y), (zero, zero)):
+        for dxy in range(25):
+            dx, dy = (dxy % 5) - 2, (dxy // 5) - 2
+            px = cx[None] + bx_ + dx
+            py = cy[None] + by_ + dy
+            ref_blocks = _gather_blocks(refs, py, px, 8)
+            cost = _block_cost_8x8(cur_blocks[None], ref_blocks)
+            if penalty:
+                cost = cost + (jnp.abs(px - cx[None] - v0x)
+                               + jnp.abs(py - cy[None] - v0y)) \
+                    * (VECTOR_DIFF_WEIGHT // 2)
+            invalid = (px < 0) | (px > W - 8) | (py < 0) | (py > H - 8)
+            cost = jnp.where(invalid, BIG, cost).astype(jnp.int32)
+            better = cost < best_cost
+            best_x = jnp.where(better, px, best_x)
+            best_y = jnp.where(better, py, best_y)
+            best_cost = jnp.where(better, cost, best_cost)
+
+    vx = (best_x - cx[None]) * pixel_rate
+    vy = (best_y - cy[None]) * pixel_rate
+    return jnp.stack([vx, vy], axis=-1).reshape(R, nby, nbx, 2)
+
+
+def _sixtap_blocks(ref, fy, fx, phy, phx, size: int):
+    """ref (..., H, W); fy/fx/phy/phx (..., n) -> (..., n, size, size)."""
+    H, W = ref.shape[-2], ref.shape[-1]
+    ext = size + 5
+    ys = jnp.clip(fy[..., None] + jnp.arange(-2, size + 3), 0, H - 1)
+    xs = jnp.clip(fx[..., None] + jnp.arange(-2, size + 3), 0, W - 1)
+    patch = jnp.take_along_axis(
+        jnp.take_along_axis(ref[..., None, :, :], ys[..., :, None], axis=-2
+                            ).astype(jnp.int32),
+        xs[..., None, :], axis=-1)                     # (..., n, ext, ext)
+    tx = _SIXTAP[phx]                                  # (..., n, 6)
+    h = sum(patch[..., :, k:k + size] * tx[..., None, k:k + 1]
+            for k in range(6))
+    h = jnp.clip((h + 64) >> 7, 0, 255)
+    ty = _SIXTAP[phy]
+    v = sum(h[..., k:k + size, :] * ty[..., k:k + 1, None] for k in range(6))
+    return jnp.clip((v + 64) >> 7, 0, 255)
+
+
+def search_qpel(cur, refs, fullpel_vec):
+    """cur (H,W); refs (R,H,W); fullpel_vec (R, nby, nbx, 2).
+    Returns (vectors (R,nby,nbx,2) qpel, Bdiff (R,nby,nbx))."""
+    H, W = cur.shape
+    R = refs.shape[0]
+    nbx, nby = W // 8, H // 8
+    n = nbx * nby
+    cx = jnp.tile(jnp.arange(nbx) * 8, nby) * 4
+    cy = jnp.repeat(jnp.arange(nby) * 8, nbx) * 4
+    v0 = fullpel_vec.reshape(R, n, 2) * 4
+    v0x, v0y = v0[..., 0], v0[..., 1]
+
+    cur_blocks = _gather_blocks(cur, cy // 4, cx // 4, 8)
+
+    best_cost = jnp.full((R, n), BIG, dtype=jnp.int32)
+    best_x = jnp.zeros((R, n), dtype=jnp.int32)
+    best_y = jnp.zeros((R, n), dtype=jnp.int32)
+    for cand in range(26):
+        if cand < 25:
+            dx, dy = (cand % 5) - 2, (cand // 5) - 2
+            px = cx[None] + v0x + dx
+            py = cy[None] + v0y + dy
+        else:
+            px = jnp.broadcast_to(cx, (R, n))
+            py = jnp.broadcast_to(cy, (R, n))
+        pxs = jnp.maximum(px, 0)
+        pys = jnp.maximum(py, 0)
+        fx, fy = pxs // 4, pys // 4
+        phx, phy = (pxs % 4) * 2, (pys % 4) * 2
+        pred = jnp.zeros((R, n, 8, 8), dtype=jnp.int32)
+        for qdy, qdx in ((0, 0), (0, 4), (4, 0), (4, 4)):
+            blk = _sixtap_blocks(refs, fy + qdy, fx + qdx, phy, phx, 4)
+            pred = pred.at[..., qdy:qdy + 4, qdx:qdx + 4].set(blk)
+        cost = _block_cost_8x8(cur_blocks[None], pred)
+        if cand < 25:
+            cost = cost + (jnp.abs(px - cx[None] - v0x)
+                           + jnp.abs(py - cy[None] - v0y)) \
+                * (VECTOR_DIFF_WEIGHT // 2)
+        invalid = (px < 0) | (px > W * 4 - 32) | (py < 0) | (py > H * 4 - 32)
+        cost = jnp.where(invalid, BIG, cost).astype(jnp.int32)
+        better = cost < best_cost
+        best_x = jnp.where(better, px, best_x)
+        best_y = jnp.where(better, py, best_y)
+        best_cost = jnp.where(better, cost, best_cost)
+
+    vx = best_x - cx[None]
+    vy = best_y - cy[None]
+    nonzero = (vx != 0) | (vy != 0)
+    best_cost = best_cost - jnp.where(
+        nonzero,
+        (jnp.abs(vx - v0x) + jnp.abs(vy - v0y)) * (VECTOR_DIFF_WEIGHT // 2), 0)
+    return (jnp.stack([vx, vy], axis=-1).reshape(R, nby, nbx, 2),
+            best_cost.reshape(R, nby, nbx))
+
+
+def hierarchical_search(cur_pyr, ref_pyrs):
+    """cur_pyr: list of (H_l, W_l); ref_pyrs: list of (R, H_l, W_l)."""
+    vec = None
+    for lvl, rate in ((4, 16), (3, 8), (2, 4), (1, 2), (0, 1)):
+        h, w = cur_pyr[lvl].shape
+        if (w // 8) == 0 or (h // 8) == 0:
+            continue
+        vec = search_level(cur_pyr[lvl], ref_pyrs[lvl], vec, rate,
+                           penalty=(rate < 4))
+    return search_qpel(cur_pyr[0], ref_pyrs[0], vec)
+
+
+# ---------------------------------------------------------------------------
+# motion compensation
+# ---------------------------------------------------------------------------
+
+def mc_predict_plane(ref, mvs, mb_idx, q_idx, scale: int, H: int, W: int):
+    """ref (H, W); mvs (mbc, 4, 2); mb_idx/q_idx: (n,) per-4x4-block maps."""
+    nbx = W // 4
+    n = (H // 4) * nbx
+    bx = jnp.tile(jnp.arange(nbx), H // 4)
+    by = jnp.repeat(jnp.arange(H // 4), nbx)
+    v = mvs[mb_idx, q_idx]                              # (n, 2)
+    ax = bx * 4 * scale + v[:, 0]
+    ay = by * 4 * scale + v[:, 1]
+    blocks = _sixtap_blocks(ref, ay // scale, ax // scale,
+                            (ay % scale) * (8 // scale),
+                            (ax % scale) * (8 // scale), 4)
+    return blocks.reshape(H // 4, nbx, 4, 4).swapaxes(1, 2).reshape(H, W)
+
+
+# ---------------------------------------------------------------------------
+# transforms over MB blocks
+# ---------------------------------------------------------------------------
+
+def _mb_blocks_luma(plane, mbw, mbh):
+    b = plane.reshape(mbh, 4, 4, mbw, 4, 4)
+    return b.transpose(0, 3, 1, 4, 2, 5).reshape(mbh * mbw, 16, 4, 4)
+
+
+def _luma_from_mb_blocks(blocks, mbw, mbh):
+    b = blocks.reshape(mbh, mbw, 4, 4, 4, 4).transpose(0, 2, 4, 1, 3, 5)
+    return b.reshape(mbh * 16, mbw * 16)
+
+
+def _mb_blocks_chroma(plane, mbw, mbh):
+    b = plane.reshape(mbh, 2, 4, mbw, 2, 4)
+    return b.transpose(0, 3, 1, 4, 2, 5).reshape(mbh * mbw, 4, 4, 4)
+
+
+def _chroma_from_mb_blocks(blocks, mbw, mbh):
+    b = blocks.reshape(mbh, mbw, 2, 2, 4, 4).transpose(0, 2, 4, 1, 3, 5)
+    return b.reshape(mbh * 8, mbw * 8)
+
+
+def transform_mb_luma(res_blocks, parts, y_dc_q, y_ac_q, y2_dc_q, y2_ac_q):
+    mbc = res_blocks.shape[0]
+    coeffs = T.fdct4x4(res_blocks)
+    has_y2 = parts == ARE16X16
+    bc = lambda q: jnp.broadcast_to(jnp.asarray(q, jnp.int32), (mbc,))
+    y_dc_q, y_ac_q = bc(y_dc_q), bc(y_ac_q)
+    y2_dc_q, y2_ac_q = bc(y2_dc_q), bc(y2_ac_q)
+    dc_q_eff = jnp.where(has_y2, 1, y_dc_q)
+    levels = T.quant4x4(coeffs, dc_q_eff[:, None], y_ac_q[:, None])
+    dq = T.dequant4x4(levels, dc_q_eff[:, None], y_ac_q[:, None])
+    dcs = coeffs[:, :, 0, 0].reshape(mbc, 4, 4)
+    y2c = T.fwht4x4(dcs)
+    y2_levels = T.quant4x4(y2c, y2_dc_q, y2_ac_q)
+    y2_dq = T.dequant4x4(y2_levels, y2_dc_q, y2_ac_q)
+    y2_rec_dc = T.iwht4x4(y2_dq).reshape(mbc, 16)
+    dq = dq.at[:, :, 0, 0].set(
+        jnp.where(has_y2[:, None], y2_rec_dc, dq[:, :, 0, 0]))
+    rec_res = T.idct4x4(dq)
+    levels_z = T.zigzag(levels)
+    levels_z = levels_z.at[:, :, 0].set(
+        jnp.where(has_y2[:, None], 0, levels_z[:, :, 0]))
+    y2_z = jnp.where(has_y2[:, None], T.zigzag(y2_levels), 0)
+    return levels_z, y2_z, rec_res
+
+
+def transform_mb_chroma(res_blocks, dc_q, ac_q):
+    mbc = res_blocks.shape[0]
+    dc = jnp.broadcast_to(jnp.asarray(dc_q, jnp.int32), (mbc,))[:, None]
+    ac = jnp.broadcast_to(jnp.asarray(ac_q, jnp.int32), (mbc,))[:, None]
+    levels = T.quant4x4(T.fdct4x4(res_blocks), dc, ac)
+    rec_res = T.idct4x4(T.dequant4x4(levels, dc, ac))
+    return T.zigzag(levels), rec_res
+
+
+# ---------------------------------------------------------------------------
+# SSIM
+# ---------------------------------------------------------------------------
+
+def _ssim_plane_mb(src, rec, size: int):
+    H, W = src.shape
+    s = src.reshape(H // size, size, W // size, size) \
+        .swapaxes(1, 2).astype(jnp.float32)
+    r = rec.reshape(H // size, size, W // size, size) \
+        .swapaxes(1, 2).astype(jnp.float32)
+    m1 = s.mean(axis=(2, 3))
+    m2 = r.mean(axis=(2, 3))
+    d1 = ((s - m1[..., None, None]) ** 2).mean(axis=(2, 3))
+    d2 = ((r - m2[..., None, None]) ** 2).mean(axis=(2, 3))
+    c = ((s - m1[..., None, None]) * (r - m2[..., None, None])).mean(axis=(2, 3))
+    ssim = ((2 * m1 * m2 + SSIM_C1) * (2 * c + SSIM_C2)) / \
+           ((m1 * m1 + m2 * m2 + SSIM_C1) * (d1 + d2 + SSIM_C2))
+    dc = jnp.abs(m1 - m2)
+    return (ssim - jnp.where(dc > 4, dc * 0.02, 0.0)).reshape(-1)
+
+
+def mb_ssim(y, ry, u, ru, v, rv):
+    return (_ssim_plane_mb(y, ry, 16) + _ssim_plane_mb(u, ru, 8)
+            + _ssim_plane_mb(v, rv, 8)) / 3.0
+
+
+# ---------------------------------------------------------------------------
+# full inter pixel step
+# ---------------------------------------------------------------------------
+
+@lru_cache(maxsize=8)
+def build_inter_kernel(wrk_w: int, wrk_h: int):
+    mbw, mbh = wrk_w // 16, wrk_h // 16
+    mbc = mbw * mbh
+
+    # per-4x4-block -> (mb, quarter) maps (static)
+    def lmap():
+        nbx = wrk_w // 4
+        bx = np.tile(np.arange(nbx), wrk_h // 4)
+        by = np.repeat(np.arange(wrk_h // 4), nbx)
+        return ((by // 4) * mbw + bx // 4,
+                ((by % 4) // 2) * 2 + (bx % 4) // 2)
+
+    def cmap():
+        nbx = wrk_w // 8 // 4 * 4
+        nbx = wrk_w // 8
+        bx = np.tile(np.arange(nbx), wrk_h // 8)
+        by = np.repeat(np.arange(wrk_h // 8), nbx)
+        return ((by // 2) * mbw + bx // 2, (by % 2) * 2 + bx % 2)
+
+    lmb, lq = (jnp.asarray(a) for a in lmap())
+    cmb, cq = (jnp.asarray(a) for a in cmap())
+
+    def kernel(y, u, v, refs_y, refs_u, refs_v, ref_valid,
+               seg_y_dc, seg_y_ac, seg_y2_dc, seg_y2_ac, seg_uv_dc, seg_uv_ac,
+               ssim_target):
+        """refs_*: (3, H, W); ref_valid: (3,) bool; seg_*: (4,) int32."""
+        # pyramids
+        cur_pyr = [y]
+        ref_pyr = [refs_y]
+        for _ in range(4):
+            cur_pyr.append(downsample2(cur_pyr[-1]))
+            ref_pyr.append(downsample2(ref_pyr[-1]))
+
+        vecs, diffs = hierarchical_search(cur_pyr, ref_pyr)   # (3,nby,nbx,..)
+
+        # reference selection (LAST <= ALTREF <= GOLDEN on ties)
+        def mb_sum(d):
+            return d.reshape(3, mbh, 2, mbw, 2).sum(axis=(2, 4)).reshape(3, mbc)
+
+        d = mb_sum(diffs)
+        d = jnp.where(ref_valid[:, None], d, BIG * 4)
+        d_last, d_gold, d_alt = d[0], d[1], d[2]
+        ref_sel = jnp.where(d_last <= d_alt, 0, 2)
+        d_best = jnp.minimum(d_last, d_alt)
+        ref_sel = jnp.where(d_best <= d_gold, ref_sel, 1)
+
+        q = vecs.reshape(3, mbh, 2, mbw, 2, 2).transpose(0, 1, 3, 2, 4, 5) \
+            .reshape(3, mbc, 4, 2)
+        mvs = jnp.take_along_axis(q, ref_sel[None, :, None, None], axis=0)[0]
+        mvs = mvs.astype(jnp.int32)
+
+        same = jnp.all(mvs == mvs[:, :1, :], axis=(1, 2))
+        parts = jnp.where(same, ARE16X16, ARE8X8).astype(jnp.int32)
+
+        # MC prediction for all 3 refs, select per MB
+        def predict(refp, mbi, qi, scale, H, W):
+            preds = jax.vmap(
+                lambda r: mc_predict_plane(r, mvs, mbi, qi, scale, H, W))(refp)
+            sel_grid = ref_sel.reshape(mbh, mbw)
+            size = 16 if scale == 4 else 8
+            m = jnp.repeat(jnp.repeat(sel_grid, size, 0), size, 1)
+            return jnp.take_along_axis(preds, m[None], axis=0)[0]
+
+        pred_y = predict(refs_y, lmb, lq, 4, wrk_h, wrk_w)
+        pred_u = predict(refs_u, cmb, cq, 8, wrk_h // 2, wrk_w // 2)
+        pred_v = predict(refs_v, cmb, cq, 8, wrk_h // 2, wrk_w // 2)
+
+        res_y = _mb_blocks_luma(y.astype(jnp.int32) - pred_y, mbw, mbh)
+        res_u = _mb_blocks_chroma(u.astype(jnp.int32) - pred_u, mbw, mbh)
+        res_v = _mb_blocks_chroma(v.astype(jnp.int32) - pred_v, mbw, mbh)
+        pred_y_b = _mb_blocks_luma(pred_y, mbw, mbh)
+        pred_u_b = _mb_blocks_chroma(pred_u, mbw, mbh)
+        pred_v_b = _mb_blocks_chroma(pred_v, mbw, mbh)
+
+        # progressive segment requantization LQ -> UQ
+        def seg_pass(i, st):
+            (levels_y, levels_y2, levels_u, levels_v, seg_ids,
+             cur_ssim, rec_y_b, rec_u_b, rec_v_b) = st
+            sid = LQ_SEGMENT - i
+            active = cur_ssim <= ssim_target
+            lz, y2z, rr = transform_mb_luma(
+                res_y, parts, seg_y_dc[sid], seg_y_ac[sid],
+                seg_y2_dc[sid], seg_y2_ac[sid])
+            uz, ur = transform_mb_chroma(res_u, seg_uv_dc[sid], seg_uv_ac[sid])
+            vz, vr = transform_mb_chroma(res_v, seg_uv_dc[sid], seg_uv_ac[sid])
+            am = active[:, None, None]
+            seg_ids = jnp.where(active, sid, seg_ids)
+            levels_y = jnp.where(am, lz, levels_y)
+            levels_y2 = jnp.where(active[:, None], y2z, levels_y2)
+            levels_u = jnp.where(am, uz, levels_u)
+            levels_v = jnp.where(am, vz, levels_v)
+            amb = active[:, None, None, None]
+            rec_y_b = jnp.where(amb, jnp.clip(pred_y_b + rr, 0, 255), rec_y_b)
+            rec_u_b = jnp.where(amb, jnp.clip(pred_u_b + ur, 0, 255), rec_u_b)
+            rec_v_b = jnp.where(amb, jnp.clip(pred_v_b + vr, 0, 255), rec_v_b)
+            ry = _luma_from_mb_blocks(rec_y_b, mbw, mbh)
+            ru = _chroma_from_mb_blocks(rec_u_b, mbw, mbh)
+            rv = _chroma_from_mb_blocks(rec_v_b, mbw, mbh)
+            new_ssim = mb_ssim(y, ry, u, ru, v, rv)
+            cur_ssim = jnp.where(active, new_ssim, cur_ssim)
+            return (levels_y, levels_y2, levels_u, levels_v, seg_ids,
+                    cur_ssim, rec_y_b, rec_u_b, rec_v_b)
+
+        st = (jnp.zeros((mbc, 16, 16), jnp.int32),
+              jnp.zeros((mbc, 16), jnp.int32),
+              jnp.zeros((mbc, 4, 16), jnp.int32),
+              jnp.zeros((mbc, 4, 16), jnp.int32),
+              jnp.full((mbc,), LQ_SEGMENT, jnp.int32),
+              jnp.full((mbc,), -2.0, jnp.float32),
+              jnp.zeros((mbc, 16, 4, 4), jnp.int32),
+              jnp.zeros((mbc, 4, 4, 4), jnp.int32),
+              jnp.zeros((mbc, 4, 4, 4), jnp.int32))
+        st = jax.lax.fori_loop(0, 4, seg_pass, st)
+        (levels_y, levels_y2, levels_u, levels_v, seg_ids,
+         cur_ssim, rec_y_b, rec_u_b, rec_v_b) = st
+
+        recon_y = _luma_from_mb_blocks(rec_y_b, mbw, mbh).astype(jnp.uint8)
+        recon_u = _chroma_from_mb_blocks(rec_u_b, mbw, mbh).astype(jnp.uint8)
+        recon_v = _chroma_from_mb_blocks(rec_v_b, mbw, mbh).astype(jnp.uint8)
+        return (levels_y.astype(jnp.int16), levels_y2.astype(jnp.int16),
+                levels_u.astype(jnp.int16), levels_v.astype(jnp.int16),
+                seg_ids, cur_ssim, mvs.astype(jnp.int16), parts, ref_sel,
+                recon_y, recon_u, recon_v)
+
+    return jax.jit(kernel)
+
+
+def encode_inter_frame_tpu(enc, y, u, v, seg, is_golden: bool, is_altref: bool):
+    """TPU-backed inter frame; numpy in/out, mirroring spec.inter."""
+    from vp8oclenc_tpu.pipeline.encoder import FrameData
+    from vp8oclenc_tpu.tables import ALTREF, ARE4X4, GOLDEN, LAST
+    from vp8oclenc_tpu.spec.inter import _intra_replace
+
+    cfg = enc.cfg
+    mbw, mbh, mbc = enc.mbw, enc.mbh, enc.mbc
+    last_y, last_u, last_v = enc.recon
+    use_golden = not enc.prev_is_golden
+    use_altref = (not enc.prev_is_altref) and \
+        (enc.altref_frame_number != enc.golden_frame_number)
+
+    dummy = last_y
+    refs_y = np.stack([last_y,
+                       enc.golden_y if use_golden else dummy,
+                       enc.altref_y if use_altref else dummy])
+    refs_u = np.stack([last_u,
+                       enc.golden_u if use_golden else last_u,
+                       enc.altref_u if use_altref else last_u])
+    refs_v = np.stack([last_v,
+                       enc.golden_v if use_golden else last_v,
+                       enc.altref_v if use_altref else last_v])
+    ref_valid = np.array([True, use_golden, use_altref])
+
+    kern = build_inter_kernel(enc.wrk_w, enc.wrk_h)
+    out = kern(jnp.asarray(y), jnp.asarray(u), jnp.asarray(v),
+               jnp.asarray(refs_y), jnp.asarray(refs_u), jnp.asarray(refs_v),
+               jnp.asarray(ref_valid),
+               jnp.asarray(seg.y_dc_q.astype(np.int32)),
+               jnp.asarray(seg.y_ac_q.astype(np.int32)),
+               jnp.asarray(seg.y2_dc_q.astype(np.int32)),
+               jnp.asarray(seg.y2_ac_q.astype(np.int32)),
+               jnp.asarray(seg.uv_dc_q.astype(np.int32)),
+               jnp.asarray(seg.uv_ac_q.astype(np.int32)),
+               jnp.float32(cfg.ssim_target))
+    (lv_y, lv_y2, lv_u, lv_v, seg_ids, cur_ssim, mvs, parts, ref_sel,
+     recon_y, recon_u, recon_v) = (np.asarray(o) for o in out)
+
+    levels = np.zeros((mbc, 25, 16), dtype=np.int16)
+    levels[:, :16] = lv_y
+    levels[:, 16:20] = lv_u
+    levels[:, 20:24] = lv_v
+    levels[:, 24] = lv_y2
+    segment_ids = seg_ids.astype(np.int32)
+    parts = parts.astype(np.int32)
+    mvs = mvs.astype(np.int16)
+    ref_map = np.array([LAST, GOLDEN, ALTREF])
+    ref_frame = ref_map[ref_sel]
+    is_inter = np.ones(mbc, dtype=bool)
+    modes = np.zeros((mbc, 16), dtype=np.int8)
+    cur_ssim = cur_ssim.astype(np.float64)
+    recon_y = recon_y.copy()
+    recon_u = recon_u.copy()
+    recon_v = recon_v.copy()
+
+    replaced = 0
+    ssim_target = cfg.ssim_target
+    if 0.0 < ssim_target:
+        replaced = _intra_replace(enc, y, u, v, recon_y, recon_u, recon_v,
+                                  levels, modes, parts, segment_ids,
+                                  cur_ssim, is_inter, seg, ssim_target)
+    if float(cur_ssim.min()) > 0.95:
+        from vp8oclenc_tpu.pipeline.segments import prepare_segments
+        seg2 = prepare_segments(cfg, y, False, is_altref, weaken_filter=True)
+        seg.__dict__.update(seg2.__dict__)
+    if 0.0 < ssim_target:
+        avg = float(cur_ssim.mean())
+        if replaced > mbc // 6 or avg < ssim_target:
+            if avg < ssim_target:
+                enc.stats.scene_changes_by_ssim += 1
+            else:
+                enc.stats.scene_changes_by_replaced += 1
+            return None
+
+    enc.recon = [recon_y, recon_u, recon_v]
+    return FrameData(
+        mbw=mbw, mbh=mbh, is_key=False, is_golden=is_golden,
+        is_altref=is_altref, levels=levels, parts=parts,
+        segment_ids=segment_ids, modes=modes, is_inter=is_inter,
+        ref_frame=ref_frame.astype(np.int32), mvs=mvs, replaced=replaced)

@@ -1,0 +1,119 @@
+"""JAX (TPU) VP8 transforms — integer-exact counterparts of spec/transforms.py.
+
+Everything is int32, static shapes, stacking instead of in-place writes so XLA
+can fuse freely.  Bit-for-bit equality with the numpy spec oracle is enforced
+by tests/test_tpu_backend.py.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from vp8oclenc_tpu.tables import (COSPI8SQRT2MINUS1, INV_ZIGZAG, SINPI8SQRT2,
+                                  ZIGZAG)
+
+
+def fdct4x4(block):
+    x = block.astype(jnp.int32)
+    a1 = (x[..., :, 0] + x[..., :, 3]) << 3
+    b1 = (x[..., :, 1] + x[..., :, 2]) << 3
+    c1 = (x[..., :, 1] - x[..., :, 2]) << 3
+    d1 = (x[..., :, 0] - x[..., :, 3]) << 3
+    t = jnp.stack([a1 + b1,
+                   (c1 * 2217 + d1 * 5352 + 14500) >> 12,
+                   a1 - b1,
+                   (d1 * 2217 - c1 * 5352 + 7500) >> 12], axis=-1)
+    a1 = t[..., 0, :] + t[..., 3, :]
+    b1 = t[..., 1, :] + t[..., 2, :]
+    c1 = t[..., 1, :] - t[..., 2, :]
+    d1 = t[..., 0, :] - t[..., 3, :]
+    return jnp.stack([(a1 + b1 + 7) >> 4,
+                      ((c1 * 2217 + d1 * 5352 + 12000) >> 16)
+                      + (d1 != 0).astype(jnp.int32),
+                      (a1 - b1 + 7) >> 4,
+                      (d1 * 2217 - c1 * 5352 + 51000) >> 16], axis=-2)
+
+
+def _q_grid(c, dc_q, ac_q):
+    ac = jnp.broadcast_to(jnp.asarray(ac_q, jnp.int32)[..., None, None], c.shape)
+    dc = jnp.broadcast_to(jnp.asarray(dc_q, jnp.int32)[..., None, None], c.shape)
+    mask = (jnp.arange(4)[:, None] == 0) & (jnp.arange(4)[None, :] == 0)
+    return jnp.where(mask, dc, ac)
+
+
+def quant4x4(coeffs, dc_q, ac_q):
+    c = coeffs.astype(jnp.int32)
+    q = _q_grid(c, dc_q, ac_q)
+    a = c + jnp.where(c < 0, -(q // 2), q // 2)
+    return jnp.where(a < 0, -((-a) // q), a // q)
+
+
+def dequant4x4(levels, dc_q, ac_q):
+    c = levels.astype(jnp.int32)
+    q = _q_grid(c, dc_q, ac_q)
+    return c * q
+
+
+def idct4x4(dq):
+    ip = dq.astype(jnp.int32)
+    a1 = ip[..., 0, :] + ip[..., 2, :]
+    b1 = ip[..., 0, :] - ip[..., 2, :]
+    c1 = ((ip[..., 1, :] * SINPI8SQRT2) >> 16) \
+        - (ip[..., 3, :] + ((ip[..., 3, :] * COSPI8SQRT2MINUS1) >> 16))
+    d1 = (ip[..., 1, :] + ((ip[..., 1, :] * COSPI8SQRT2MINUS1) >> 16)) \
+        + ((ip[..., 3, :] * SINPI8SQRT2) >> 16)
+    t = jnp.stack([a1 + d1, b1 + c1, b1 - c1, a1 - d1], axis=-2)
+    a1 = t[..., :, 0] + t[..., :, 2]
+    b1 = t[..., :, 0] - t[..., :, 2]
+    c1 = ((t[..., :, 1] * SINPI8SQRT2) >> 16) \
+        - (t[..., :, 3] + ((t[..., :, 3] * COSPI8SQRT2MINUS1) >> 16))
+    d1 = (t[..., :, 1] + ((t[..., :, 1] * COSPI8SQRT2MINUS1) >> 16)) \
+        + ((t[..., :, 3] * SINPI8SQRT2) >> 16)
+    return jnp.stack([(a1 + d1 + 4) >> 3,
+                      (b1 + c1 + 4) >> 3,
+                      (b1 - c1 + 4) >> 3,
+                      (a1 - d1 + 4) >> 3], axis=-1)
+
+
+def fwht4x4(dcs):
+    x = dcs.astype(jnp.int32)
+    a = x[..., 0, :] + x[..., 3, :]
+    b = x[..., 1, :] + x[..., 2, :]
+    c = x[..., 1, :] - x[..., 2, :]
+    d = x[..., 0, :] - x[..., 3, :]
+    t = jnp.stack([a + b, c + d, a - b, d - c], axis=-2)
+    a = t[..., :, 0] + t[..., :, 3]
+    b = t[..., :, 1] + t[..., :, 2]
+    c = t[..., :, 1] - t[..., :, 2]
+    d = t[..., :, 0] - t[..., :, 3]
+    o = jnp.stack([a + b, c + d, a - b, d - c], axis=-1)
+    return (o + (o > 0).astype(jnp.int32)) >> 1
+
+
+def iwht4x4(dq):
+    x = dq.astype(jnp.int32)
+    a = x[..., :, 0] + x[..., :, 3]
+    b = x[..., :, 1] + x[..., :, 2]
+    c = x[..., :, 1] - x[..., :, 2]
+    d = x[..., :, 0] - x[..., :, 3]
+    t = jnp.stack([a + b, c + d, a - b, d - c], axis=-1)
+    a = t[..., 0, :] + t[..., 3, :]
+    b = t[..., 1, :] + t[..., 2, :]
+    c = t[..., 1, :] - t[..., 2, :]
+    d = t[..., 0, :] - t[..., 3, :]
+    o = jnp.stack([a + b, c + d, a - b, d - c], axis=-2)
+    return (o + 3) >> 3
+
+
+def zigzag(block):
+    flat = block.reshape(*block.shape[:-2], 16)
+    return flat[..., ZIGZAG]
+
+
+def inv_zigzag(scan):
+    return scan[..., INV_ZIGZAG].reshape(*scan.shape[:-1], 4, 4)
+
+
+def dct_weight(residual):
+    c = jnp.abs(fdct4x4(residual))
+    dc = c[..., 0, 0]
+    return jnp.sum(c, axis=(-2, -1)) - dc + dc // 4

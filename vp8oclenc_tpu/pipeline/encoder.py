@@ -238,6 +238,9 @@ class Encoder:
     # ---- inter path (backend-provided; see ops/ and spec/inter.py) ----
     def _encode_inter(self, y, u, v, seg: SegmentData, is_golden: bool,
                       is_altref: bool) -> Optional[FrameData]:
+        if self.tpu is not None:
+            return self.tpu.encode_inter_frame(self, y, u, v, seg,
+                                               is_golden, is_altref)
         from vp8oclenc_tpu.spec import inter as SPEC_INTER
         return SPEC_INTER.encode_inter_frame(self, y, u, v, seg,
                                              is_golden, is_altref)

@@ -28,13 +28,17 @@ def luma_block_neighbors(recon_y: np.ndarray, bx: int, by: int, w4: int):
         if bx % 4 < 3:
             A[4:] = recon_y[y - 1, x + 4:x + 8]
         else:
+            # rightmost block column of the MB: above-right pixels come from
+            # the row above the MB (loaded once per MB in the reference,
+            # intra_part.h:600-610); 127 when the MB is in the top row.
             mb_top = (by // 4) * 16
-            if bx == w4 - 1:
+            if mb_top == 0:
+                A[4:] = 127
+            elif bx == w4 - 1:
                 A[4:] = recon_y[mb_top - 1, x + 3]
             else:
                 A[4:] = recon_y[mb_top - 1, x + 4:x + 8]
-        P = np.int32(127) if by == 0 else (
-            np.int32(129) if bx == 0 else recon_y[y - 1, x - 1].astype(np.int32))
+        P = np.int32(129) if bx == 0 else recon_y[y - 1, x - 1].astype(np.int32)
     if bx == 0:
         L = np.full(4, 129, dtype=np.int32)
     else:
