@@ -1,15 +1,13 @@
 import os
 import sys
 
-# Run all JAX tests on a virtual multi-device CPU mesh; the real TPU is used
-# only by bench.py / the driver.  Must be set before jax is imported anywhere.
-# NOTE: the environment pre-sets JAX_PLATFORMS=axon (remote TPU tunnel), so
-# this must be an overwrite, not setdefault — otherwise every jnp constant
-# lives across the tunnel and lowering takes minutes.
-os.environ["JAX_PLATFORMS"] = "cpu"
-xla_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in xla_flags:
-    os.environ["XLA_FLAGS"] = (
-        xla_flags + " --xla_force_host_platform_device_count=8").strip()
-
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# Run tests on a local CPU backend with a virtual 8-device mesh.  NOTE: in
+# this environment the axon TPU plugin ignores JAX_PLATFORMS/XLA_FLAGS env
+# vars — only jax.config.update() actually switches the backend.
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)

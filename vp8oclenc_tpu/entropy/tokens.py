@@ -35,13 +35,18 @@ TOKEN_RECORD_DTYPE = np.dtype([
     ("extra", np.uint16)])
 
 
+_TOKEN_LUT = np.empty(2200, dtype=np.int32)
+for _a in range(2200):
+    if _a <= 4:
+        _TOKEN_LUT[_a] = _a
+    else:
+        _TOKEN_LUT[_a] = 5 + int(np.searchsorted(_CAT_EDGES, _a, side="right")) - 1
+
+
 def classify_tokens(levels: np.ndarray):
-    """abs level -> token id (vectorized).  levels: int array of |values|."""
-    a = np.abs(levels.astype(np.int64))
-    tok = np.where(a <= 4, a, 0)
-    cat = np.searchsorted(_CAT_EDGES, a, side="right")  # 0 for a<5, 1..6 else
-    tok = np.where(a >= 5, 4 + cat, tok)
-    return tok.astype(np.int32)
+    """abs level -> token id (table lookup).  levels: int array."""
+    a = np.abs(levels.astype(np.int32, copy=False))
+    return _TOKEN_LUT[np.minimum(a, 2199)]
 
 
 def block_nonzero_flags(levels: np.ndarray, parts: np.ndarray):
@@ -252,10 +257,14 @@ def count_probs(tokdata: dict, num_partitions: int, mbw: int, mbh: int):
 
     flat_idx = (((ctx1[:, None] * 8 + band[:, None]) * 3 + ctx3[:, None]) * 11
                 + nodes)
-    num = np.zeros(4 * 8 * 3 * 11, dtype=np.int64)
-    den = np.zeros_like(num)
-    np.add.at(num, flat_idx[valid], 1 - bits[valid])
-    np.add.at(den, flat_idx[valid], 1)
+    # bincount over (idx, bit) pairs is ~10x faster than np.add.at scatters
+    NCTX = 4 * 8 * 3 * 11
+    pair = flat_idx[valid] * 2 + bits[valid]
+    counts = np.bincount(pair, minlength=NCTX * 2)
+    zeros_ = counts[0::2]
+    ones_ = counts[1::2]
+    num = zeros_.astype(np.int64)
+    den = (zeros_ + ones_).astype(np.int64)
 
     # The reference initializes each partition's denominator array to 1, so the
     # merged denominator starts at num_partitions.

@@ -1,0 +1,95 @@
+"""ctypes bindings for the native range-coder packer (auto-built with g++).
+
+Falls back gracefully (available() -> False) when no toolchain exists; the
+pure-Python coder in entropy/boolcoder.py then takes over.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import tempfile
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "packer.cpp")
+_SO = os.path.join(_HERE, "_packer.so")
+
+_lib = None
+_tried = False
+
+
+def _build() -> bool:
+    try:
+        src_mtime = os.path.getmtime(_SRC)
+        if os.path.exists(_SO) and os.path.getmtime(_SO) >= src_mtime:
+            return True
+        with tempfile.TemporaryDirectory() as td:
+            tmp = os.path.join(td, "_packer.so")
+            subprocess.run(
+                ["g++", "-O3", "-shared", "-fPIC", "-o", tmp, _SRC],
+                check=True, capture_output=True)
+            os.replace(tmp, _SO)
+        return True
+    except Exception:
+        return False
+
+
+def _load():
+    global _lib, _tried
+    if _tried:
+        return _lib
+    _tried = True
+    if not _build():
+        return None
+    lib = ctypes.CDLL(_SO)
+    lib.vp8_pack_bools.restype = ctypes.c_size_t
+    lib.vp8_pack_bools.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                   ctypes.c_size_t, ctypes.c_void_p]
+    lib.vp8_pack_tokens.restype = ctypes.c_size_t
+    lib.vp8_pack_tokens.argtypes = [ctypes.c_void_p, ctypes.c_size_t,
+                                    ctypes.c_void_p, ctypes.c_void_p,
+                                    ctypes.c_void_p, ctypes.c_void_p,
+                                    ctypes.c_void_p, ctypes.c_void_p,
+                                    ctypes.c_void_p]
+    _lib = lib
+    return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def pack_bools(probs: np.ndarray, bits: np.ndarray) -> bytes:
+    lib = _load()
+    n = len(probs)
+    out = np.empty(n // 8 + 64 + n // 4, dtype=np.uint8)
+    probs = np.ascontiguousarray(probs, dtype=np.uint8)
+    bits = np.ascontiguousarray(bits, dtype=np.uint8)
+    ln = lib.vp8_pack_bools(probs.ctypes.data, bits.ctypes.data, n,
+                            out.ctypes.data)
+    return out[:ln].tobytes()
+
+
+def pack_tokens(records: np.ndarray, probs: np.ndarray) -> bytes:
+    """records: TOKEN_RECORD_DTYPE array; probs: (4,8,3,11) uint8."""
+    from vp8oclenc_tpu import tables as TBL
+    from vp8oclenc_tpu.entropy.tokens import PCAT_PROBS
+
+    lib = _load()
+    n = len(records)
+    # worst case ~ (7 tree + 11 extra + 1 sign) bools/record -> < 3 bytes
+    out = np.empty(n * 3 + 64, dtype=np.uint8)
+    recs = np.ascontiguousarray(records)
+    probs = np.ascontiguousarray(probs, dtype=np.uint8)
+    nodes = np.ascontiguousarray(TBL.COEFF_TOKEN_NODES, dtype=np.int32)
+    bits = np.ascontiguousarray(TBL.COEFF_TOKEN_BITS, dtype=np.int32)
+    lens = np.ascontiguousarray(TBL.COEFF_TOKEN_LENS, dtype=np.int32)
+    pcat = np.ascontiguousarray(PCAT_PROBS, dtype=np.uint8)
+    nbits = np.ascontiguousarray(TBL.CAT_NBITS, dtype=np.int32)
+    ln = lib.vp8_pack_tokens(recs.ctypes.data, n, probs.ctypes.data,
+                             nodes.ctypes.data, bits.ctypes.data,
+                             lens.ctypes.data, pcat.ctypes.data,
+                             nbits.ctypes.data, out.ctypes.data)
+    return out[:ln].tobytes()

@@ -1,14 +1,19 @@
-"""TPU backend facade used by pipeline.encoder.
+"""TPU backend: device-resident encoder state + jitted kernels.
 
-Wraps the jitted JAX kernels (ops/) behind the same interface as the numpy
-spec oracle so the two backends are interchangeable and must produce
-byte-identical streams.
+Reference pixels (LAST/GOLDEN/ALTREF) live on the TPU across frames — the
+host only ships the current source frame up and the coefficient levels /
+per-MB metadata down, erasing the reference encoder's per-frame
+host<->device copies (SURVEY.md §3.2 boundary list).  Reconstruction is
+materialized to numpy lazily (tests, dumps, SSIM intra replacement).
 """
 from __future__ import annotations
 
 import numpy as np
+import jax
+import jax.numpy as jnp
 
 from vp8oclenc_tpu.config import EncoderConfig
+from vp8oclenc_tpu.tables import ALTREF, GOLDEN, LAST
 
 
 class TPUBackend:
@@ -16,15 +21,157 @@ class TPUBackend:
         self.cfg = cfg
         self.wrk_w = wrk_w
         self.wrk_h = wrk_h
+        self.mbw = wrk_w // 16
+        self.mbh = wrk_h // 16
+        self.mbc = self.mbw * self.mbh
+        # device state: pre-filter pending recon, post-filter refs
+        self.pending = None            # (y, u, v) device, before loop filter
+        self.last = None               # (y, u, v) device, post filter
+        self.golden = None
+        self.altref = None
 
+    # -------------------------------------------------- intra
     def encode_intra_frame(self, y, u, v, seg):
-        from vp8oclenc_tpu.ops.intra import encode_intra_frame_tpu
-        return encode_intra_frame_tpu(y, u, v, seg)
+        from vp8oclenc_tpu.ops.intra import build_intra_kernel
+        kern = build_intra_kernel(self.wrk_w, self.wrk_h)
+        sid = 0
+        ry, ru, rv, lv_y, lv_uv, modes = kern(
+            jnp.asarray(y), jnp.asarray(u), jnp.asarray(v),
+            jnp.int32(int(seg.y_dc_q[sid])), jnp.int32(int(seg.y_ac_q[sid])),
+            jnp.int32(int(seg.uv_dc_q[sid])), jnp.int32(int(seg.uv_ac_q[sid])))
+        self.pending = (ry, ru, rv)
+        levels = np.zeros((self.mbc, 25, 16), dtype=np.int16)
+        lv_y, lv_uv, modes = np.asarray(lv_y), np.asarray(lv_uv), np.asarray(modes)
+        levels[:, :16] = lv_y
+        levels[:, 16:20] = lv_uv[0]
+        levels[:, 20:24] = lv_uv[1]
+        return levels, modes, PendingRecon(self)
 
-    def loop_filter(self, ry, ru, rv, segment_ids, inner, seg):
-        from vp8oclenc_tpu.ops.loopfilter import loop_filter_frame_tpu
-        return loop_filter_frame_tpu(ry, ru, rv, segment_ids, inner, seg)
-
+    # -------------------------------------------------- inter
     def encode_inter_frame(self, enc, y, u, v, seg, is_golden, is_altref):
-        from vp8oclenc_tpu.ops.inter import encode_inter_frame_tpu
-        return encode_inter_frame_tpu(enc, y, u, v, seg, is_golden, is_altref)
+        from vp8oclenc_tpu.ops.inter import build_inter_kernel
+        from vp8oclenc_tpu.pipeline.encoder import FrameData
+        from vp8oclenc_tpu.tables import ARE4X4
+        from vp8oclenc_tpu.spec.inter import _intra_replace
+
+        cfg = self.cfg
+        mbc = self.mbc
+        use_golden = not enc.prev_is_golden
+        use_altref = (not enc.prev_is_altref) and \
+            (enc.altref_frame_number != enc.golden_frame_number)
+
+        g = self.golden if (use_golden and self.golden is not None) else self.last
+        a = self.altref if (use_altref and self.altref is not None) else self.last
+        refs_y = jnp.stack([self.last[0], g[0], a[0]])
+        refs_u = jnp.stack([self.last[1], g[1], a[1]])
+        refs_v = jnp.stack([self.last[2], g[2], a[2]])
+        ref_valid = np.array([True, use_golden, use_altref])
+
+        kern = build_inter_kernel(self.wrk_w, self.wrk_h)
+        levels_pack, meta, cur_ssim, ry, ru, rv = kern(
+            jnp.asarray(y), jnp.asarray(u), jnp.asarray(v),
+            refs_y, refs_u, refs_v, jnp.asarray(ref_valid),
+            jnp.asarray(seg.y_dc_q.astype(np.int32)),
+            jnp.asarray(seg.y_ac_q.astype(np.int32)),
+            jnp.asarray(seg.y2_dc_q.astype(np.int32)),
+            jnp.asarray(seg.y2_ac_q.astype(np.int32)),
+            jnp.asarray(seg.uv_dc_q.astype(np.int32)),
+            jnp.asarray(seg.uv_ac_q.astype(np.int32)),
+            jnp.float32(cfg.ssim_target))
+        self.pending = (ry, ru, rv)
+
+        levels = np.asarray(levels_pack)
+        meta = np.asarray(meta)
+        cur_ssim = np.asarray(cur_ssim).astype(np.float64)
+        segment_ids = meta[:, 0].copy()
+        parts = meta[:, 1].copy()
+        ref_map = np.array([LAST, GOLDEN, ALTREF])
+        ref_frame = ref_map[meta[:, 2]]
+        mvs = meta[:, 3:11].reshape(mbc, 4, 2).astype(np.int16)
+        is_inter = np.ones(mbc, dtype=bool)
+        modes = np.zeros((mbc, 16), dtype=np.int8)
+
+        replaced = 0
+        ssim_target = cfg.ssim_target
+        if 0.0 < ssim_target or float(cur_ssim.min()) > 0.95:
+            recon_y, recon_u, recon_v = (np.asarray(p).copy() for p in self.pending)
+        if 0.0 < ssim_target:
+            levels = np.ascontiguousarray(levels)
+            replaced = _intra_replace(enc, y, u, v, recon_y, recon_u, recon_v,
+                                      levels, modes, parts, segment_ids,
+                                      cur_ssim, is_inter, seg, ssim_target)
+            if replaced:
+                self.pending = (jnp.asarray(recon_y), jnp.asarray(recon_u),
+                                jnp.asarray(recon_v))
+        if float(cur_ssim.min()) > 0.95:
+            from vp8oclenc_tpu.pipeline.segments import prepare_segments
+            seg2 = prepare_segments(cfg, y, False, is_altref, weaken_filter=True)
+            seg.__dict__.update(seg2.__dict__)
+        if 0.0 < ssim_target:
+            avg = float(cur_ssim.mean())
+            if replaced > mbc // 6 or avg < ssim_target:
+                if avg < ssim_target:
+                    enc.stats.scene_changes_by_ssim += 1
+                else:
+                    enc.stats.scene_changes_by_replaced += 1
+                return None
+
+        enc.recon = PendingRecon(self)
+        return FrameData(
+            mbw=self.mbw, mbh=self.mbh, is_key=False, is_golden=is_golden,
+            is_altref=is_altref, levels=levels.astype(np.int16), parts=parts,
+            segment_ids=segment_ids, modes=modes, is_inter=is_inter,
+            ref_frame=ref_frame.astype(np.int32), mvs=mvs, replaced=replaced)
+
+    # -------------------------------------------------- loop filter
+    def loop_filter(self, segment_ids, inner, seg):
+        from vp8oclenc_tpu.ops.loopfilter import build_loopfilter_kernel
+        kern = build_loopfilter_kernel(self.mbw, self.mbh)
+        ry, ru, rv = kern(
+            self.pending[0], self.pending[1], self.pending[2],
+            jnp.asarray(np.asarray(segment_ids, dtype=np.int32)),
+            jnp.asarray(np.asarray(inner, dtype=bool)),
+            jnp.asarray(np.asarray(seg.loop_filter_level, dtype=np.int32)),
+            jnp.asarray(np.asarray(seg.mbedge_limit, dtype=np.int32)),
+            jnp.asarray(np.asarray(seg.sub_bedge_limit, dtype=np.int32)),
+            jnp.asarray(np.asarray(seg.interior_limit, dtype=np.int32)),
+            jnp.asarray(np.asarray(seg.hev_threshold, dtype=np.int32)))
+        self.last = (ry, ru, rv)
+        self.pending = None
+
+    def promote_refs(self, is_golden: bool, is_altref: bool) -> None:
+        if is_golden:
+            self.golden = self.last
+        if is_altref:
+            self.altref = self.last
+
+    def materialize_last(self):
+        return tuple(np.asarray(p) for p in self.last)
+
+
+class PendingRecon:
+    """Lazy device-backed reconstruction triple; materializes on indexing.
+
+    Index 0/1/2 = post-filter Y/U/V once the loop filter has run (the
+    common read path: tests, golden promotion on the spec side, dumps).
+    """
+
+    def __init__(self, backend: TPUBackend) -> None:
+        self.backend = backend
+        self._np = None
+
+    def _mat(self):
+        if self._np is None:
+            src = self.backend.last if self.backend.last is not None \
+                else self.backend.pending
+            self._np = tuple(np.asarray(p) for p in src)
+        return self._np
+
+    def __getitem__(self, i):
+        return self._mat()[i]
+
+    def __iter__(self):
+        return iter(self._mat())
+
+    def __len__(self):
+        return 3

@@ -28,7 +28,7 @@ BIG = jnp.int32(1 << 28)
 SSIM_C1 = 0.01 * 0.01 * 255 * 255
 SSIM_C2 = 0.03 * 0.03 * 255 * 255
 
-_SIXTAP = jnp.asarray(SIXTAP_FILTERS)
+_SIXTAP = np.asarray(SIXTAP_FILTERS)
 
 
 # ---------------------------------------------------------------------------
@@ -47,15 +47,24 @@ def downsample2(p):
 # search
 # ---------------------------------------------------------------------------
 
+def _gather2d(plane, ys, xs):
+    """One flat gather: plane (..., H, W); ys (..., n, a); xs (..., n, b) ->
+    (..., n, a, b).  Avoids the (..., n, a, W) row-gather intermediate."""
+    H, W = plane.shape[-2], plane.shape[-1]
+    idx = ys[..., :, None] * W + xs[..., None, :]          # (..., n, a, b)
+    lead = idx.shape[:-3]
+    n, a, b = idx.shape[-3:]
+    flat = plane.reshape(*plane.shape[:-2], H * W)
+    out = jnp.take_along_axis(flat, idx.reshape(*lead, n * a * b), axis=-1)
+    return out.reshape(*lead, n, a, b).astype(jnp.int32)
+
+
 def _gather_blocks(plane, py, px, size: int):
     """plane (..., H, W); py/px (..., n) -> (..., n, size, size), clipped."""
     H, W = plane.shape[-2], plane.shape[-1]
     ys = jnp.clip(py[..., None] + jnp.arange(size), 0, H - 1)
     xs = jnp.clip(px[..., None] + jnp.arange(size), 0, W - 1)
-    return jnp.take_along_axis(
-        jnp.take_along_axis(plane[..., None, :, :], ys[..., :, None], axis=-2
-                            ).astype(jnp.int32),
-        xs[..., None, :], axis=-1)
+    return _gather2d(plane, ys, xs)
 
 
 def _block_cost_8x8(cur_blocks, ref_blocks):
@@ -65,9 +74,26 @@ def _block_cost_8x8(cur_blocks, ref_blocks):
     return T.dct_weight(quads).sum(axis=-1)
 
 
+def _plane_blocks8(plane):
+    """(..., H, W) -> (..., n, 8, 8) regular 8x8 blocks via reshape (no
+    gather); trailing partial blocks are cropped (pyramid levels may not be
+    multiples of 8)."""
+    H, W = plane.shape[-2], plane.shape[-1]
+    nby, nbx = H // 8, W // 8
+    lead = plane.shape[:-2]
+    b = plane[..., : nby * 8, : nbx * 8].reshape(*lead, nby, 8, nbx, 8)
+    b = jnp.moveaxis(b, -2, -3)
+    return b.reshape(*lead, nby * nbx, 8, 8).astype(jnp.int32)
+
+
 def search_level(cur, refs, src_vec, pixel_rate: int, penalty: bool):
     """cur (H, W); refs (R, H, W); src_vec (R, nbyc, nbxc, 2) or None.
-    Returns (R, nby, nbx, 2) full-res-pixel vectors."""
+    Returns (R, nby, nbx, 2) full-res-pixel vectors.
+
+    TPU-native form: one 12x12 patch gather per block around the inherited
+    vector (25 candidates become static slices of the patch), and the
+    zero-centered window evaluated as 25 shifted whole-plane residuals
+    (pure reshapes + elementwise — no gather at all)."""
     H, W = cur.shape
     R = refs.shape[0]
     nbx, nby = W // 8, H // 8
@@ -84,57 +110,89 @@ def search_level(cur, refs, src_vec, pixel_rate: int, penalty: bool):
         v0 = jnp.sign(v) * (jnp.abs(v) // pixel_rate)
     v0x, v0y = v0[..., 0], v0[..., 1]
 
-    cur_blocks = _gather_blocks(cur, cy, cx, 8)        # (n, 8, 8)
+    cur_blocks = _plane_blocks8(cur)                   # (n, 8, 8)
 
     best_cost = jnp.full((R, n), BIG, dtype=jnp.int32)
     best_x = cx[None] + v0x
     best_y = cy[None] + v0y
-    zero = jnp.zeros_like(v0x)
-    for bx_, by_ in ((v0x, v0y), (zero, zero)):
-        for dxy in range(25):
-            dx, dy = (dxy % 5) - 2, (dxy // 5) - 2
-            px = cx[None] + bx_ + dx
-            py = cy[None] + by_ + dy
-            ref_blocks = _gather_blocks(refs, py, px, 8)
-            cost = _block_cost_8x8(cur_blocks[None], ref_blocks)
-            if penalty:
-                cost = cost + (jnp.abs(px - cx[None] - v0x)
-                               + jnp.abs(py - cy[None] - v0y)) \
-                    * (VECTOR_DIFF_WEIGHT // 2)
-            invalid = (px < 0) | (px > W - 8) | (py < 0) | (py > H - 8)
-            cost = jnp.where(invalid, BIG, cost).astype(jnp.int32)
-            better = cost < best_cost
-            best_x = jnp.where(better, px, best_x)
-            best_y = jnp.where(better, py, best_y)
-            best_cost = jnp.where(better, cost, best_cost)
+
+    def consider(px, py, cost):
+        nonlocal best_x, best_y, best_cost
+        if penalty:
+            cost = cost + (jnp.abs(px - cx[None] - v0x)
+                           + jnp.abs(py - cy[None] - v0y)) \
+                * (VECTOR_DIFF_WEIGHT // 2)
+        invalid = (px < 0) | (px > W - 8) | (py < 0) | (py > H - 8)
+        cost = jnp.where(invalid, BIG, cost).astype(jnp.int32)
+        better = cost < best_cost
+        best_x = jnp.where(better, px, best_x)
+        best_y = jnp.where(better, py, best_y)
+        best_cost = jnp.where(better, cost, best_cost)
+
+    # --- window 1: +-2 around the inherited vector (12x12 patch gather) ---
+    ys = jnp.clip((cy[None] + v0y - 2)[..., None] + jnp.arange(12), 0, H - 1)
+    xs = jnp.clip((cx[None] + v0x - 2)[..., None] + jnp.arange(12), 0, W - 1)
+    patch = _gather2d(refs, ys, xs)                    # (R, n, 12, 12)
+    for dxy in range(25):
+        dx, dy = (dxy % 5) - 2, (dxy // 5) - 2
+        ref_b = jax.lax.slice_in_dim(
+            jax.lax.slice_in_dim(patch, dy + 2, dy + 10, axis=-2),
+            dx + 2, dx + 10, axis=-1)
+        cost = _block_cost_8x8(cur_blocks[None], ref_b)
+        consider(cx[None] + v0x + dx, cy[None] + v0y + dy, cost)
+
+    # --- window 2: +-2 around zero (shifted whole-plane slices, no gather) ---
+    pad = jnp.pad(refs, ((0, 0), (2, 2), (2, 2)), mode="edge")
+    for dxy in range(25):
+        dx, dy = (dxy % 5) - 2, (dxy // 5) - 2
+        shifted = jax.lax.slice(pad, (0, dy + 2, dx + 2),
+                                (R, dy + 2 + H, dx + 2 + W))
+        cost = _block_cost_8x8(cur_blocks[None], _plane_blocks8(shifted))
+        consider(cx[None] + dx, cy[None] + dy, cost)
 
     vx = (best_x - cx[None]) * pixel_rate
     vy = (best_y - cy[None]) * pixel_rate
     return jnp.stack([vx, vy], axis=-1).reshape(R, nby, nbx, 2)
 
 
-def _sixtap_blocks(ref, fy, fx, phy, phx, size: int):
-    """ref (..., H, W); fy/fx/phy/phx (..., n) -> (..., n, size, size)."""
+def _sixtap_blocks(ref, fy, fx, phy, phx, size: int, taps):
+    """ref (..., H, W); fy/fx/phy/phx (..., n) -> (..., n, size, size).
+    taps: the (8, 6) six-tap table, passed as a traced argument (committed
+    constants are pathologically slow to lower through the TPU tunnel)."""
     H, W = ref.shape[-2], ref.shape[-1]
     ext = size + 5
     ys = jnp.clip(fy[..., None] + jnp.arange(-2, size + 3), 0, H - 1)
     xs = jnp.clip(fx[..., None] + jnp.arange(-2, size + 3), 0, W - 1)
-    patch = jnp.take_along_axis(
-        jnp.take_along_axis(ref[..., None, :, :], ys[..., :, None], axis=-2
-                            ).astype(jnp.int32),
-        xs[..., None, :], axis=-1)                     # (..., n, ext, ext)
-    tx = _SIXTAP[phx]                                  # (..., n, 6)
+    patch = _gather2d(ref, ys, xs)                     # (..., n, ext, ext)
+    tx = taps[phx]                                     # (..., n, 6)
     h = sum(patch[..., :, k:k + size] * tx[..., None, k:k + 1]
             for k in range(6))
     h = jnp.clip((h + 64) >> 7, 0, 255)
-    ty = _SIXTAP[phy]
+    ty = taps[phy]
     v = sum(h[..., k:k + size, :] * ty[..., k:k + 1, None] for k in range(6))
     return jnp.clip((v + 64) >> 7, 0, 255)
 
 
-def search_qpel(cur, refs, fullpel_vec):
+def _sixtap_static(patch, phase_x: int, phase_y: int, size: int):
+    """Six-tap interpolation with *static* phases: slices x scalar taps.
+    patch: (..., size+5, size+5) -> (..., size, size)."""
+    fx = SIXTAP_FILTERS[phase_x]
+    fy = SIXTAP_FILTERS[phase_y]
+    h = sum(int(fx[k]) * patch[..., :, k:k + size] for k in range(6)
+            if int(fx[k]) != 0)
+    h = jnp.clip((h + 64) >> 7, 0, 255)
+    v = sum(int(fy[k]) * h[..., k:k + size, :] for k in range(6)
+            if int(fy[k]) != 0)
+    return jnp.clip((v + 64) >> 7, 0, 255)
+
+
+def search_qpel(cur, refs, fullpel_vec, taps):
     """cur (H,W); refs (R,H,W); fullpel_vec (R, nby, nbx, 2).
-    Returns (vectors (R,nby,nbx,2) qpel, Bdiff (R,nby,nbx))."""
+    Returns (vectors (R,nby,nbx,2) qpel, Bdiff (R,nby,nbx)).
+
+    The 25 refinement candidates sit at +-2 qpel around a *full-pel* base, so
+    every block shares the candidate's subpel phase: interpolation becomes a
+    static-coefficient convolution over one 17x17 patch per block."""
     H, W = cur.shape
     R = refs.shape[0]
     nbx, nby = W // 8, H // 8
@@ -144,29 +202,23 @@ def search_qpel(cur, refs, fullpel_vec):
     v0 = fullpel_vec.reshape(R, n, 2) * 4
     v0x, v0y = v0[..., 0], v0[..., 1]
 
-    cur_blocks = _gather_blocks(cur, cy // 4, cx // 4, 8)
+    cur_blocks = _plane_blocks8(cur)                   # (n, 8, 8)
+
+    # one 17x17 patch per block: fullpel base c+v0, margin -3..+13
+    # (interp apron -2..+3 per 4x4 half, +-1 fullpel candidate shift)
+    fy0 = (cy + 0)[None] // 4 + fullpel_vec.reshape(R, n, 2)[..., 1] - 3
+    fx0 = (cx + 0)[None] // 4 + fullpel_vec.reshape(R, n, 2)[..., 0] - 3
+    ys = jnp.clip(fy0[..., None] + jnp.arange(17), 0, H - 1)
+    xs = jnp.clip(fx0[..., None] + jnp.arange(17), 0, W - 1)
+    patch = _gather2d(refs, ys, xs)                    # (R, n, 17, 17)
 
     best_cost = jnp.full((R, n), BIG, dtype=jnp.int32)
     best_x = jnp.zeros((R, n), dtype=jnp.int32)
     best_y = jnp.zeros((R, n), dtype=jnp.int32)
-    for cand in range(26):
-        if cand < 25:
-            dx, dy = (cand % 5) - 2, (cand // 5) - 2
-            px = cx[None] + v0x + dx
-            py = cy[None] + v0y + dy
-        else:
-            px = jnp.broadcast_to(cx, (R, n))
-            py = jnp.broadcast_to(cy, (R, n))
-        pxs = jnp.maximum(px, 0)
-        pys = jnp.maximum(py, 0)
-        fx, fy = pxs // 4, pys // 4
-        phx, phy = (pxs % 4) * 2, (pys % 4) * 2
-        pred = jnp.zeros((R, n, 8, 8), dtype=jnp.int32)
-        for qdy, qdx in ((0, 0), (0, 4), (4, 0), (4, 4)):
-            blk = _sixtap_blocks(refs, fy + qdy, fx + qdx, phy, phx, 4)
-            pred = pred.at[..., qdy:qdy + 4, qdx:qdx + 4].set(blk)
-        cost = _block_cost_8x8(cur_blocks[None], pred)
-        if cand < 25:
+
+    def consider(px, py, cost, with_penalty):
+        nonlocal best_x, best_y, best_cost
+        if with_penalty:
             cost = cost + (jnp.abs(px - cx[None] - v0x)
                            + jnp.abs(py - cy[None] - v0y)) \
                 * (VECTOR_DIFF_WEIGHT // 2)
@@ -176,6 +228,26 @@ def search_qpel(cur, refs, fullpel_vec):
         best_x = jnp.where(better, px, best_x)
         best_y = jnp.where(better, py, best_y)
         best_cost = jnp.where(better, cost, best_cost)
+
+    for cand in range(25):
+        dx, dy = (cand % 5) - 2, (cand // 5) - 2
+        sx = (dx % 4 + 4) % 4        # phase (dx mod 4, python semantics ok)
+        sy = (dy % 4 + 4) % 4
+        ox = (dx - sx) // 4          # fullpel shift (-1 or 0)
+        oy = (dy - sy) // 4
+        # 8x8 prediction built from the two 4x4 column/row halves at once:
+        # slice a 13x13 region then interpolate 8x8 directly (the quadrant
+        # construction in the reference concatenates exactly these values)
+        sub = patch[..., 3 + oy - 2: 3 + oy + 11, 3 + ox - 2: 3 + ox + 11]
+        pred = _sixtap_interp8(sub, sx * 2, sy * 2)
+        cost = _block_cost_8x8(cur_blocks[None], pred)
+        consider(cx[None] + v0x + dx, cy[None] + v0y + dy, cost, True)
+
+    # candidate 25: absolute zero MV, phase 0 -> plain block compare
+    zero_blocks = _plane_blocks8(refs)                 # (R, n, 8, 8)
+    cost = _block_cost_8x8(cur_blocks[None], zero_blocks)
+    consider(jnp.broadcast_to(cx, (R, n)), jnp.broadcast_to(cy, (R, n)),
+             cost, False)
 
     vx = best_x - cx[None]
     vy = best_y - cy[None]
@@ -187,7 +259,23 @@ def search_qpel(cur, refs, fullpel_vec):
             best_cost.reshape(R, nby, nbx))
 
 
-def hierarchical_search(cur_pyr, ref_pyrs):
+def _sixtap_interp8(sub, phase_x: int, phase_y: int):
+    """Interpolate an 8x8 prediction as the reference does per 4x4 quadrant
+    (GPU_kernels.cl construct): each quadrant is an independent 9x9->4x4
+    six-tap, NOT a seamless 13x13->8x8 pass, because the vertical pass of
+    each quadrant reads the *clamped* horizontal intermediate of its own 9
+    rows.  sub: (..., 13, 13)."""
+    quads = []
+    for qy in (0, 4):
+        row = []
+        for qx in (0, 4):
+            q = sub[..., qy:qy + 9, qx:qx + 9]
+            row.append(_sixtap_static(q, phase_x, phase_y, 4))
+        quads.append(jnp.concatenate(row, axis=-1))
+    return jnp.concatenate(quads, axis=-2)
+
+
+def hierarchical_search(cur_pyr, ref_pyrs, taps):
     """cur_pyr: list of (H_l, W_l); ref_pyrs: list of (R, H_l, W_l)."""
     vec = None
     for lvl, rate in ((4, 16), (3, 8), (2, 4), (1, 2), (0, 1)):
@@ -196,14 +284,15 @@ def hierarchical_search(cur_pyr, ref_pyrs):
             continue
         vec = search_level(cur_pyr[lvl], ref_pyrs[lvl], vec, rate,
                            penalty=(rate < 4))
-    return search_qpel(cur_pyr[0], ref_pyrs[0], vec)
+    return search_qpel(cur_pyr[0], ref_pyrs[0], vec, taps)
 
 
 # ---------------------------------------------------------------------------
 # motion compensation
 # ---------------------------------------------------------------------------
 
-def mc_predict_plane(ref, mvs, mb_idx, q_idx, scale: int, H: int, W: int):
+def mc_predict_plane(ref, mvs, mb_idx, q_idx, scale: int, H: int, W: int,
+                     taps):
     """ref (H, W); mvs (mbc, 4, 2); mb_idx/q_idx: (n,) per-4x4-block maps."""
     nbx = W // 4
     n = (H // 4) * nbx
@@ -214,7 +303,7 @@ def mc_predict_plane(ref, mvs, mb_idx, q_idx, scale: int, H: int, W: int):
     ay = by * 4 * scale + v[:, 1]
     blocks = _sixtap_blocks(ref, ay // scale, ax // scale,
                             (ay % scale) * (8 // scale),
-                            (ax % scale) * (8 // scale), 4)
+                            (ax % scale) * (8 // scale), 4, taps)
     return blocks.reshape(H // 4, nbx, 4, 4).swapaxes(1, 2).reshape(H, W)
 
 
@@ -326,12 +415,12 @@ def build_inter_kernel(wrk_w: int, wrk_h: int):
         by = np.repeat(np.arange(wrk_h // 8), nbx)
         return ((by // 2) * mbw + bx // 2, (by % 2) * 2 + bx % 2)
 
-    lmb, lq = (jnp.asarray(a) for a in lmap())
-    cmb, cq = (jnp.asarray(a) for a in cmap())
+    lmb, lq = (np.asarray(a) for a in lmap())
+    cmb, cq = (np.asarray(a) for a in cmap())
 
     def kernel(y, u, v, refs_y, refs_u, refs_v, ref_valid,
                seg_y_dc, seg_y_ac, seg_y2_dc, seg_y2_ac, seg_uv_dc, seg_uv_ac,
-               ssim_target):
+               ssim_target, taps):
         """refs_*: (3, H, W); ref_valid: (3,) bool; seg_*: (4,) int32."""
         # pyramids
         cur_pyr = [y]
@@ -340,7 +429,7 @@ def build_inter_kernel(wrk_w: int, wrk_h: int):
             cur_pyr.append(downsample2(cur_pyr[-1]))
             ref_pyr.append(downsample2(ref_pyr[-1]))
 
-        vecs, diffs = hierarchical_search(cur_pyr, ref_pyr)   # (3,nby,nbx,..)
+        vecs, diffs = hierarchical_search(cur_pyr, ref_pyr, taps)
 
         # reference selection (LAST <= ALTREF <= GOLDEN on ties)
         def mb_sum(d):
@@ -364,7 +453,8 @@ def build_inter_kernel(wrk_w: int, wrk_h: int):
         # MC prediction for all 3 refs, select per MB
         def predict(refp, mbi, qi, scale, H, W):
             preds = jax.vmap(
-                lambda r: mc_predict_plane(r, mvs, mbi, qi, scale, H, W))(refp)
+                lambda r: mc_predict_plane(r, mvs, mbi, qi, scale, H, W,
+                                           taps))(refp)
             sel_grid = ref_sel.reshape(mbh, mbw)
             size = 16 if scale == 4 else 8
             m = jnp.repeat(jnp.repeat(sel_grid, size, 0), size, 1)
@@ -426,92 +516,20 @@ def build_inter_kernel(wrk_w: int, wrk_h: int):
         recon_y = _luma_from_mb_blocks(rec_y_b, mbw, mbh).astype(jnp.uint8)
         recon_u = _chroma_from_mb_blocks(rec_u_b, mbw, mbh).astype(jnp.uint8)
         recon_v = _chroma_from_mb_blocks(rec_v_b, mbw, mbh).astype(jnp.uint8)
-        return (levels_y.astype(jnp.int16), levels_y2.astype(jnp.int16),
-                levels_u.astype(jnp.int16), levels_v.astype(jnp.int16),
-                seg_ids, cur_ssim, mvs.astype(jnp.int16), parts, ref_sel,
-                recon_y, recon_u, recon_v)
 
-    return jax.jit(kernel)
+        # pack host-bound outputs into few arrays (each D2H transfer through
+        # the tunnel pays fixed latency)
+        levels_pack = jnp.concatenate(
+            [levels_y.reshape(mbc, 16, 16), levels_u, levels_v,
+             levels_y2[:, None, :]], axis=1).astype(jnp.int16)
+        meta = jnp.concatenate(
+            [seg_ids[:, None], parts[:, None], ref_sel[:, None],
+             mvs.reshape(mbc, 8)], axis=1).astype(jnp.int32)
+        return levels_pack, meta, cur_ssim, recon_y, recon_u, recon_v
 
+    jitted = jax.jit(kernel)
 
-def encode_inter_frame_tpu(enc, y, u, v, seg, is_golden: bool, is_altref: bool):
-    """TPU-backed inter frame; numpy in/out, mirroring spec.inter."""
-    from vp8oclenc_tpu.pipeline.encoder import FrameData
-    from vp8oclenc_tpu.tables import ALTREF, ARE4X4, GOLDEN, LAST
-    from vp8oclenc_tpu.spec.inter import _intra_replace
+    def run(*args):
+        return jitted(*args, _SIXTAP)
 
-    cfg = enc.cfg
-    mbw, mbh, mbc = enc.mbw, enc.mbh, enc.mbc
-    last_y, last_u, last_v = enc.recon
-    use_golden = not enc.prev_is_golden
-    use_altref = (not enc.prev_is_altref) and \
-        (enc.altref_frame_number != enc.golden_frame_number)
-
-    dummy = last_y
-    refs_y = np.stack([last_y,
-                       enc.golden_y if use_golden else dummy,
-                       enc.altref_y if use_altref else dummy])
-    refs_u = np.stack([last_u,
-                       enc.golden_u if use_golden else last_u,
-                       enc.altref_u if use_altref else last_u])
-    refs_v = np.stack([last_v,
-                       enc.golden_v if use_golden else last_v,
-                       enc.altref_v if use_altref else last_v])
-    ref_valid = np.array([True, use_golden, use_altref])
-
-    kern = build_inter_kernel(enc.wrk_w, enc.wrk_h)
-    out = kern(jnp.asarray(y), jnp.asarray(u), jnp.asarray(v),
-               jnp.asarray(refs_y), jnp.asarray(refs_u), jnp.asarray(refs_v),
-               jnp.asarray(ref_valid),
-               jnp.asarray(seg.y_dc_q.astype(np.int32)),
-               jnp.asarray(seg.y_ac_q.astype(np.int32)),
-               jnp.asarray(seg.y2_dc_q.astype(np.int32)),
-               jnp.asarray(seg.y2_ac_q.astype(np.int32)),
-               jnp.asarray(seg.uv_dc_q.astype(np.int32)),
-               jnp.asarray(seg.uv_ac_q.astype(np.int32)),
-               jnp.float32(cfg.ssim_target))
-    (lv_y, lv_y2, lv_u, lv_v, seg_ids, cur_ssim, mvs, parts, ref_sel,
-     recon_y, recon_u, recon_v) = (np.asarray(o) for o in out)
-
-    levels = np.zeros((mbc, 25, 16), dtype=np.int16)
-    levels[:, :16] = lv_y
-    levels[:, 16:20] = lv_u
-    levels[:, 20:24] = lv_v
-    levels[:, 24] = lv_y2
-    segment_ids = seg_ids.astype(np.int32)
-    parts = parts.astype(np.int32)
-    mvs = mvs.astype(np.int16)
-    ref_map = np.array([LAST, GOLDEN, ALTREF])
-    ref_frame = ref_map[ref_sel]
-    is_inter = np.ones(mbc, dtype=bool)
-    modes = np.zeros((mbc, 16), dtype=np.int8)
-    cur_ssim = cur_ssim.astype(np.float64)
-    recon_y = recon_y.copy()
-    recon_u = recon_u.copy()
-    recon_v = recon_v.copy()
-
-    replaced = 0
-    ssim_target = cfg.ssim_target
-    if 0.0 < ssim_target:
-        replaced = _intra_replace(enc, y, u, v, recon_y, recon_u, recon_v,
-                                  levels, modes, parts, segment_ids,
-                                  cur_ssim, is_inter, seg, ssim_target)
-    if float(cur_ssim.min()) > 0.95:
-        from vp8oclenc_tpu.pipeline.segments import prepare_segments
-        seg2 = prepare_segments(cfg, y, False, is_altref, weaken_filter=True)
-        seg.__dict__.update(seg2.__dict__)
-    if 0.0 < ssim_target:
-        avg = float(cur_ssim.mean())
-        if replaced > mbc // 6 or avg < ssim_target:
-            if avg < ssim_target:
-                enc.stats.scene_changes_by_ssim += 1
-            else:
-                enc.stats.scene_changes_by_replaced += 1
-            return None
-
-    enc.recon = [recon_y, recon_u, recon_v]
-    return FrameData(
-        mbw=mbw, mbh=mbh, is_key=False, is_golden=is_golden,
-        is_altref=is_altref, levels=levels, parts=parts,
-        segment_ids=segment_ids, modes=modes, is_inter=is_inter,
-        ref_frame=ref_frame.astype(np.int32), mvs=mvs, replaced=replaced)
+    return run

@@ -189,12 +189,13 @@ def build_intra_kernel(wrk_w: int, wrk_h: int):
     ldiag_by, ldiag_bx = _luma_diagonals(w4, h4)
     cdiag_by, cdiag_bx = _mb_diagonals(mbw, mbh)
 
-    ldiag_by = jnp.asarray(ldiag_by)
-    ldiag_bx = jnp.asarray(ldiag_bx)
-    cdiag_by = jnp.asarray(cdiag_by)
-    cdiag_bx = jnp.asarray(cdiag_bx)
+    # Diagonal tables are passed as jit *arguments*, not closure constants:
+    # committed jax.Array constants are fetched one-by-one during MLIR
+    # lowering, which is pathologically slow through the remote-TPU tunnel.
 
-    def kernel(y, u, v, y_dc_q, y_ac_q, uv_dc_q, uv_ac_q):
+    @jax.jit
+    def kernel(y, u, v, y_dc_q, y_ac_q, uv_dc_q, uv_ac_q,
+               ldiag_by, ldiag_bx, cdiag_by, cdiag_bx):
         recon_y = jnp.zeros((wrk_h + 4, wrk_w), dtype=jnp.uint8)
         levels_y = jnp.zeros((mbc + 1, 16, 16), dtype=jnp.int16)
         modes = jnp.zeros((mbc + 1, 16), dtype=jnp.int8)
@@ -221,7 +222,11 @@ def build_intra_kernel(wrk_w: int, wrk_h: int):
                 recon_uv[1, :wrk_h // 2], levels_y[:mbc], levels_uv[:, :mbc],
                 modes[:mbc])
 
-    return jax.jit(kernel)
+    def run(y, u, v, y_dc_q, y_ac_q, uv_dc_q, uv_ac_q):
+        return kernel(y, u, v, y_dc_q, y_ac_q, uv_dc_q, uv_ac_q,
+                      ldiag_by, ldiag_bx, cdiag_by, cdiag_bx)
+
+    return run
 
 
 def encode_intra_frame_tpu(y: np.ndarray, u: np.ndarray, v: np.ndarray, seg):

@@ -103,11 +103,11 @@ def _plane_pass(plane, diag_by, diag_bx, seg_of_mb, levels, mbe, sbe, intr,
 
 @lru_cache(maxsize=8)
 def build_loopfilter_kernel(mbw: int, mbh: int):
-    dby, dbx = _diag_tables(mbw, mbh)
-    dby = jnp.asarray(dby)
-    dbx = jnp.asarray(dbx)
+    tables = _diag_tables(mbw, mbh)
 
-    def kernel(ry, ru, rv, seg_of_mb, inner_mask, levels, mbe, sbe, intr, hev):
+    @jax.jit
+    def kernel(ry, ru, rv, seg_of_mb, inner_mask, levels, mbe, sbe, intr, hev,
+               dby, dbx):
         ry = _plane_pass(ry, dby, dbx, seg_of_mb, levels, mbe, sbe, intr, hev,
                          inner_mask, 16, mbw, mbh)
         ru = _plane_pass(ru, dby, dbx, seg_of_mb, levels, mbe, sbe, intr, hev,
@@ -116,7 +116,10 @@ def build_loopfilter_kernel(mbw: int, mbh: int):
                          inner_mask, 8, mbw, mbh)
         return ry, ru, rv
 
-    return jax.jit(kernel)
+    def run(*args):
+        return kernel(*args, *tables)
+
+    return run
 
 
 def _diag_tables(mbw: int, mbh: int):

@@ -129,9 +129,10 @@ class Encoder:
 
         if self.tpu is not None:
             levels, modes, recon = self.tpu.encode_intra_frame(y, u, v, seg)
+            self.recon = recon                  # lazy device-backed
         else:
             levels, modes, recon = SPEC_INTRA.encode_intra_frame(y, u, v, seg)
-        self.recon = [r.copy() for r in recon]
+            self.recon = [r.copy() for r in recon]
         mbc = self.mbc
         return FrameData(
             mbw=self.mbw, mbh=self.mbh, is_key=True, is_golden=True,
@@ -160,10 +161,18 @@ class Encoder:
         order = TOK.emission_order(fd.parts, skip, self.mbw, self.mbh,
                                    cfg.num_partitions)
         records = TOK.build_token_records(tokdata, order)
+        try:
+            from vp8oclenc_tpu.native import packer as native
+            use_native = native.available()
+        except Exception:
+            use_native = False
         partitions = []
         for rec in records:
-            p, b = TOK.records_to_bools(rec, probs)
-            partitions.append(pack_bools(p, b))
+            if use_native:
+                partitions.append(native.pack_tokens(rec, probs))
+            else:
+                p, b = TOK.records_to_bools(rec, probs)
+                partitions.append(pack_bools(p, b))
 
         header = encode_frame_header(fd, seg, cfg, self.width, self.height)
 
@@ -178,12 +187,12 @@ class Encoder:
     def _loop_filter(self, fd: FrameData, seg: SegmentData) -> None:
         skip, _ = TOK.mb_skip_flags(fd.levels, fd.parts)
         inner = (fd.parts != ARE16X16) | (~skip)
-        ry, ru, rv = self.recon
         if self.tpu is not None:
-            ry, ru, rv = self.tpu.loop_filter(ry, ru, rv, fd.segment_ids,
-                                              inner, seg)
-            self.recon = [ry, ru, rv]
+            from vp8oclenc_tpu.ops.backend import PendingRecon
+            self.tpu.loop_filter(fd.segment_ids, inner, seg)
+            self.recon = PendingRecon(self.tpu)
         else:
+            ry, ru, rv = self.recon
             SPEC_LF.loop_filter_frame(ry, ru, rv, fd.segment_ids, inner, seg)
 
     def encode_frame(self, frame: Frame) -> bytes:
@@ -218,16 +227,23 @@ class Encoder:
         payload = self._finish_frame(fd, seg)
 
         # reference bookkeeping for the next frame
-        if is_golden:
-            self.golden_frame_number = self.frame_number
-            self.golden_y = self.recon[0].copy()
-            self.golden_u = self.recon[1].copy()
-            self.golden_v = self.recon[2].copy()
-        if is_altref:
-            self.altref_frame_number = self.frame_number
-            self.altref_y = self.recon[0].copy()
-            self.altref_u = self.recon[1].copy()
-            self.altref_v = self.recon[2].copy()
+        if self.tpu is not None:
+            self.tpu.promote_refs(is_golden, is_altref)
+            if is_golden:
+                self.golden_frame_number = self.frame_number
+            if is_altref:
+                self.altref_frame_number = self.frame_number
+        else:
+            if is_golden:
+                self.golden_frame_number = self.frame_number
+                self.golden_y = self.recon[0].copy()
+                self.golden_u = self.recon[1].copy()
+                self.golden_v = self.recon[2].copy()
+            if is_altref:
+                self.altref_frame_number = self.frame_number
+                self.altref_y = self.recon[0].copy()
+                self.altref_u = self.recon[1].copy()
+                self.altref_v = self.recon[2].copy()
         self.prev_is_golden = is_golden
         self.prev_is_altref = is_altref
         self.last_u = u.copy()
