@@ -51,8 +51,8 @@ def main():
         total_bytes += len(enc.encode_frame(frames[t]))
 
     t0 = time.monotonic()
-    for t in range(n_warm, n_warm + n_meas):
-        total_bytes += len(enc.encode_frame(frames[t]))
+    for payload in enc.encode_frames(frames[n_warm:]):
+        total_bytes += len(payload)
     dt = time.monotonic() - t0
     fps = n_meas / dt
 

@@ -23,10 +23,14 @@ def main(argv=None) -> int:
                            framerate=info.framerate, timescale=1)
         total_bytes = 0
         t0 = time.monotonic()
-        for n, frame in enumerate(reader):
-            if args.frames and n >= args.frames:
-                break
-            payload = enc.encode_frame(frame)
+
+        def frame_iter():
+            for n, frame in enumerate(reader):
+                if args.frames and n >= args.frames:
+                    return
+                yield frame
+
+        for n, payload in enumerate(enc.encode_frames(frame_iter())):
             writer.write_frame(payload)
             total_bytes += len(payload)
             if cfg.print_info:

@@ -29,6 +29,7 @@ class TPUBackend:
         self.last = None               # (y, u, v) device, post filter
         self.golden = None
         self.altref = None
+        self.filtered = False          # pixel kernel already ran the filter
 
     # -------------------------------------------------- intra
     def encode_intra_frame(self, y, u, v, seg):
@@ -67,7 +68,8 @@ class TPUBackend:
         refs_v = jnp.stack([self.last[2], g[2], a[2]])
         ref_valid = np.array([True, use_golden, use_altref])
 
-        kern = build_inter_kernel(self.wrk_w, self.wrk_h)
+        ssim_on = cfg.ssim_target > 0.0
+        kern = build_inter_kernel(self.wrk_w, self.wrk_h, ssim_enabled=ssim_on)
         levels_pack, meta, cur_ssim, ry, ru, rv = kern(
             jnp.asarray(y), jnp.asarray(u), jnp.asarray(v),
             refs_y, refs_u, refs_v, jnp.asarray(ref_valid),
@@ -78,7 +80,43 @@ class TPUBackend:
             jnp.asarray(seg.uv_dc_q.astype(np.int32)),
             jnp.asarray(seg.uv_ac_q.astype(np.int32)),
             jnp.float32(cfg.ssim_target))
-        self.pending = (ry, ru, rv)
+        if ssim_on:
+            self.pending = (ry, ru, rv)
+            self.filtered = False
+        else:
+            # chain the loop filter asynchronously on device outputs; the
+            # host reads levels/meta while it runs
+            from vp8oclenc_tpu.ops.loopfilter import build_filter_from_meta_kernel
+            from vp8oclenc_tpu.pipeline.segments import prepare_segments
+            weak = prepare_segments(cfg, y, False, is_altref, weaken_filter=True)
+            lf = np.stack([
+                np.stack([s_.loop_filter_level, s_.mbedge_limit,
+                          s_.sub_bedge_limit, s_.interior_limit,
+                          s_.hev_threshold]) for s_ in (seg, weak)
+            ]).astype(np.int32)
+            fkern = build_filter_from_meta_kernel(self.mbw, self.mbh)
+            self.last = fkern(ry, ru, rv, levels_pack, meta, cur_ssim,
+                              jnp.asarray(lf))
+            self.pending = None
+            self.filtered = True
+
+        if not ssim_on:
+            # start the D2H copies now; materialize lazily (finalize_framedata)
+            try:
+                levels_pack.copy_to_host_async()
+                meta.copy_to_host_async()
+            except AttributeError:
+                pass
+            fd = FrameData(
+                mbw=self.mbw, mbh=self.mbh, is_key=False, is_golden=is_golden,
+                is_altref=is_altref, levels=None, parts=None, segment_ids=None,
+                modes=np.zeros((mbc, 16), dtype=np.int8),
+                is_inter=np.ones(mbc, dtype=bool), ref_frame=None, mvs=None,
+                replaced=0)
+            fd.device_outputs = (levels_pack, meta, cur_ssim)
+            fd.weak_seg = weak
+            enc.recon = PendingRecon(self)
+            return fd
 
         levels = np.asarray(levels_pack)
         meta = np.asarray(meta)
@@ -93,9 +131,8 @@ class TPUBackend:
 
         replaced = 0
         ssim_target = cfg.ssim_target
-        if 0.0 < ssim_target or float(cur_ssim.min()) > 0.95:
-            recon_y, recon_u, recon_v = (np.asarray(p).copy() for p in self.pending)
         if 0.0 < ssim_target:
+            recon_y, recon_u, recon_v = (np.asarray(p).copy() for p in self.pending)
             levels = np.ascontiguousarray(levels)
             replaced = _intra_replace(enc, y, u, v, recon_y, recon_u, recon_v,
                                       levels, modes, parts, segment_ids,
@@ -122,6 +159,27 @@ class TPUBackend:
             is_altref=is_altref, levels=levels.astype(np.int16), parts=parts,
             segment_ids=segment_ids, modes=modes, is_inter=is_inter,
             ref_frame=ref_frame.astype(np.int32), mvs=mvs, replaced=replaced)
+
+    def finalize_framedata(self, fd, seg) -> None:
+        """Materialize a lazily-returned inter FrameData (fused path)."""
+        if getattr(fd, "device_outputs", None) is None:
+            return
+        levels_pack, meta, cur_ssim = fd.device_outputs
+        fd.device_outputs = None
+        mbc = self.mbc
+        levels = np.asarray(levels_pack)
+        meta = np.asarray(meta)
+        cur_ssim = np.asarray(cur_ssim).astype(np.float64)
+        fd.levels = levels.astype(np.int16)
+        fd.segment_ids = meta[:, 0].copy()
+        fd.parts = meta[:, 1].copy()
+        ref_map = np.array([LAST, GOLDEN, ALTREF])
+        fd.ref_frame = ref_map[meta[:, 2]].astype(np.int32)
+        fd.mvs = meta[:, 3:11].reshape(mbc, 4, 2).astype(np.int16)
+        # header bookkeeping for the weaken-filter rule (the device already
+        # selected the weakened limits; mirror it for the written header)
+        if float(cur_ssim.min()) > 0.95 and getattr(fd, "weak_seg", None):
+            seg.__dict__.update(fd.weak_seg.__dict__)
 
     # -------------------------------------------------- loop filter
     def loop_filter(self, segment_ids, inner, seg):

@@ -307,6 +307,38 @@ def mc_predict_plane(ref, mvs, mb_idx, q_idx, scale: int, H: int, W: int,
     return blocks.reshape(H // 4, nbx, 4, 4).swapaxes(1, 2).reshape(H, W)
 
 
+def mc_predict_selected(refs, mvs, sel, mb_idx, q_idx, scale: int, H: int,
+                        W: int, taps):
+    """Single-pass MC from the per-MB *selected* reference.
+
+    refs (3, H, W); sel (mbc,) in 0..2.  One flat gather over the stacked
+    reference planes (ref offset folded into the index) — a third of the
+    gather volume of predicting all three refs."""
+    nbx = W // 4
+    n = (H // 4) * nbx
+    bx = jnp.tile(jnp.arange(nbx), H // 4)
+    by = jnp.repeat(jnp.arange(H // 4), nbx)
+    v = mvs[mb_idx, q_idx]                              # (n, 2)
+    ax = bx * 4 * scale + v[:, 0]
+    ay = by * 4 * scale + v[:, 1]
+    fy, fx = ay // scale, ax // scale
+    phy = (ay % scale) * (8 // scale)
+    phx = (ax % scale) * (8 // scale)
+    ys = jnp.clip(fy[:, None] + jnp.arange(-2, 7), 0, H - 1)   # (n, 9)
+    xs = jnp.clip(fx[:, None] + jnp.arange(-2, 7), 0, W - 1)
+    base = (sel[mb_idx].astype(jnp.int32) * (H * W))[:, None, None]
+    idx = base + ys[:, :, None] * W + xs[:, None, :]
+    patch = jnp.take(refs.reshape(-1), idx.reshape(-1),
+                     mode="clip").reshape(n, 9, 9).astype(jnp.int32)
+    tx = taps[phx]
+    h = sum(patch[:, :, k:k + 4] * tx[:, None, k:k + 1] for k in range(6))
+    h = jnp.clip((h + 64) >> 7, 0, 255)
+    ty = taps[phy]
+    blocks = sum(h[:, k:k + 4, :] * ty[:, k:k + 1, None] for k in range(6))
+    blocks = jnp.clip((blocks + 64) >> 7, 0, 255)
+    return blocks.reshape(H // 4, nbx, 4, 4).swapaxes(1, 2).reshape(H, W)
+
+
 # ---------------------------------------------------------------------------
 # transforms over MB blocks
 # ---------------------------------------------------------------------------
@@ -396,7 +428,11 @@ def mb_ssim(y, ry, u, ru, v, rv):
 # ---------------------------------------------------------------------------
 
 @lru_cache(maxsize=8)
-def build_inter_kernel(wrk_w: int, wrk_h: int):
+def _cachehook_build_inter_kernel(wrk_w: int, wrk_h: int, ssim_enabled: bool = True):
+    """ssim_enabled=True: 4 progressive segment passes, un-filtered recon
+    returned (the host SSIM controller may replace MBs before filtering).
+    ssim_enabled=False: single LQ pass and the loop filter fused in — the
+    whole per-frame pixel path is one device call."""
     mbw, mbh = wrk_w // 16, wrk_h // 16
     mbc = mbw * mbh
 
@@ -450,19 +486,13 @@ def build_inter_kernel(wrk_w: int, wrk_h: int):
         same = jnp.all(mvs == mvs[:, :1, :], axis=(1, 2))
         parts = jnp.where(same, ARE16X16, ARE8X8).astype(jnp.int32)
 
-        # MC prediction for all 3 refs, select per MB
-        def predict(refp, mbi, qi, scale, H, W):
-            preds = jax.vmap(
-                lambda r: mc_predict_plane(r, mvs, mbi, qi, scale, H, W,
-                                           taps))(refp)
-            sel_grid = ref_sel.reshape(mbh, mbw)
-            size = 16 if scale == 4 else 8
-            m = jnp.repeat(jnp.repeat(sel_grid, size, 0), size, 1)
-            return jnp.take_along_axis(preds, m[None], axis=0)[0]
-
-        pred_y = predict(refs_y, lmb, lq, 4, wrk_h, wrk_w)
-        pred_u = predict(refs_u, cmb, cq, 8, wrk_h // 2, wrk_w // 2)
-        pred_v = predict(refs_v, cmb, cq, 8, wrk_h // 2, wrk_w // 2)
+        # MC prediction straight from the selected reference
+        pred_y = mc_predict_selected(refs_y, mvs, ref_sel, lmb, lq, 4,
+                                     wrk_h, wrk_w, taps)
+        pred_u = mc_predict_selected(refs_u, mvs, ref_sel, cmb, cq, 8,
+                                     wrk_h // 2, wrk_w // 2, taps)
+        pred_v = mc_predict_selected(refs_v, mvs, ref_sel, cmb, cq, 8,
+                                     wrk_h // 2, wrk_w // 2, taps)
 
         res_y = _mb_blocks_luma(y.astype(jnp.int32) - pred_y, mbw, mbh)
         res_u = _mb_blocks_chroma(u.astype(jnp.int32) - pred_u, mbw, mbh)
@@ -509,7 +539,7 @@ def build_inter_kernel(wrk_w: int, wrk_h: int):
               jnp.zeros((mbc, 16, 4, 4), jnp.int32),
               jnp.zeros((mbc, 4, 4, 4), jnp.int32),
               jnp.zeros((mbc, 4, 4, 4), jnp.int32))
-        st = jax.lax.fori_loop(0, 4, seg_pass, st)
+        st = jax.lax.fori_loop(0, 4 if ssim_enabled else 1, seg_pass, st)
         (levels_y, levels_y2, levels_u, levels_v, seg_ids,
          cur_ssim, rec_y_b, rec_u_b, rec_v_b) = st
 
@@ -525,11 +555,19 @@ def build_inter_kernel(wrk_w: int, wrk_h: int):
         meta = jnp.concatenate(
             [seg_ids[:, None], parts[:, None], ref_sel[:, None],
              mvs.reshape(mbc, 8)], axis=1).astype(jnp.int32)
+
         return levels_pack, meta, cur_ssim, recon_y, recon_u, recon_v
 
     jitted = jax.jit(kernel)
+    taps_dev = jax.device_put(_SIXTAP)
 
     def run(*args):
-        return jitted(*args, _SIXTAP)
+        return jitted(*args, taps_dev)
 
     return run
+
+
+def build_inter_kernel(wrk_w: int, wrk_h: int, ssim_enabled: bool = True):
+    from vp8oclenc_tpu.utils.jaxcache import enable
+    enable()
+    return _cachehook_build_inter_kernel(wrk_w, wrk_h, ssim_enabled)

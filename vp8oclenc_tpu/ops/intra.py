@@ -181,7 +181,7 @@ def _chroma_step(d, state, diag_by, diag_bx, uv_src, mbw, mbh, dc_q, ac_q):
 
 
 @lru_cache(maxsize=8)
-def build_intra_kernel(wrk_w: int, wrk_h: int):
+def _cachehook_build_intra_kernel(wrk_w: int, wrk_h: int):
     """Compile the full keyframe kernel for one working resolution."""
     w4, h4 = wrk_w // 4, wrk_h // 4
     mbw, mbh = wrk_w // 16, wrk_h // 16
@@ -245,3 +245,9 @@ def encode_intra_frame_tpu(y: np.ndarray, u: np.ndarray, v: np.ndarray, seg):
     levels[:, 20:24] = np.asarray(lv_uv[1])
     return (levels, np.asarray(modes),
             (np.asarray(ry), np.asarray(ru), np.asarray(rv)))
+
+
+def build_intra_kernel(wrk_w: int, wrk_h: int):
+    from vp8oclenc_tpu.utils.jaxcache import enable
+    enable()
+    return _cachehook_build_intra_kernel(wrk_w, wrk_h)

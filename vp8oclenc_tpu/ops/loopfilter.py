@@ -101,20 +101,27 @@ def _plane_pass(plane, diag_by, diag_bx, seg_of_mb, levels, mbe, sbe, intr,
     return jnp.clip(pad[4:4 + H, 4:4 + W] + 128, 0, 255).astype(jnp.uint8)
 
 
+def filter_planes(ry, ru, rv, seg_of_mb, inner_mask, levels, mbe, sbe, intr,
+                  hev, dby, dbx, mbw: int, mbh: int):
+    """Traceable whole-frame filter (reused inside the fused pixel kernels)."""
+    ry = _plane_pass(ry, dby, dbx, seg_of_mb, levels, mbe, sbe, intr, hev,
+                     inner_mask, 16, mbw, mbh)
+    ru = _plane_pass(ru, dby, dbx, seg_of_mb, levels, mbe, sbe, intr, hev,
+                     inner_mask, 8, mbw, mbh)
+    rv = _plane_pass(rv, dby, dbx, seg_of_mb, levels, mbe, sbe, intr, hev,
+                     inner_mask, 8, mbw, mbh)
+    return ry, ru, rv
+
+
 @lru_cache(maxsize=8)
-def build_loopfilter_kernel(mbw: int, mbh: int):
-    tables = _diag_tables(mbw, mbh)
+def _cachehook_build_loopfilter_kernel(mbw: int, mbh: int):
+    tables = tuple(jax.device_put(t) for t in _diag_tables(mbw, mbh))
 
     @jax.jit
     def kernel(ry, ru, rv, seg_of_mb, inner_mask, levels, mbe, sbe, intr, hev,
                dby, dbx):
-        ry = _plane_pass(ry, dby, dbx, seg_of_mb, levels, mbe, sbe, intr, hev,
-                         inner_mask, 16, mbw, mbh)
-        ru = _plane_pass(ru, dby, dbx, seg_of_mb, levels, mbe, sbe, intr, hev,
-                         inner_mask, 8, mbw, mbh)
-        rv = _plane_pass(rv, dby, dbx, seg_of_mb, levels, mbe, sbe, intr, hev,
-                         inner_mask, 8, mbw, mbh)
-        return ry, ru, rv
+        return filter_planes(ry, ru, rv, seg_of_mb, inner_mask, levels, mbe,
+                             sbe, intr, hev, dby, dbx, mbw, mbh)
 
     def run(*args):
         return kernel(*args, *tables)
@@ -154,3 +161,46 @@ def loop_filter_frame_tpu(ry, ru, rv, segment_ids, inner_mask, seg):
                jnp.asarray(np.asarray(seg.interior_limit, dtype=np.int32)),
                jnp.asarray(np.asarray(seg.hev_threshold, dtype=np.int32)))
     return tuple(np.asarray(o) for o in out)
+
+
+@lru_cache(maxsize=8)
+def _cachehook_build_filter_from_meta_kernel(mbw: int, mbh: int):
+    """Loop filter fed directly from the inter kernel's device outputs —
+    skip/inner/segment ids derived on-device so the filter chains
+    asynchronously behind the pixel kernel (host entropy overlaps it).
+
+    lf: (2, 5, 4) [normal/weakened][level,mbe,sbe,interior,hev] per segment;
+    the weakened set is selected on-device when min SSIM > 0.95
+    (check_SSIM, /root/reference/src/vp8enc.cpp:260-261)."""
+    tables = tuple(jax.device_put(t) for t in _diag_tables(mbw, mbh))
+
+    @jax.jit
+    def kernel(ry, ru, rv, levels_pack, meta, cur_ssim, lf, dby, dbx):
+        seg_ids = meta[:, 0]
+        parts = meta[:, 1]
+        a = jnp.abs(levels_pack.astype(jnp.int32))
+        nzc = (a[:, :16, 1:].sum(axis=(1, 2)) + a[:, 16:24].sum(axis=(1, 2))
+               + a[:, :16, 0].sum(axis=1) + a[:, 24].sum(axis=1))
+        inner = (parts != 0) | (nzc != 0)      # ARE16X16 == 0
+        weaken = jnp.min(cur_ssim) > 0.95
+        lf_use = jnp.where(weaken, lf[1], lf[0])
+        return filter_planes(ry, ru, rv, seg_ids, inner,
+                             lf_use[0], lf_use[1], lf_use[2], lf_use[3],
+                             lf_use[4], dby, dbx, mbw, mbh)
+
+    def run(*args):
+        return kernel(*args, *tables)
+
+    return run
+
+
+def build_loopfilter_kernel(mbw: int, mbh: int):
+    from vp8oclenc_tpu.utils.jaxcache import enable
+    enable()
+    return _cachehook_build_loopfilter_kernel(mbw, mbh)
+
+
+def build_filter_from_meta_kernel(mbw: int, mbh: int):
+    from vp8oclenc_tpu.utils.jaxcache import enable
+    enable()
+    return _cachehook_build_filter_from_meta_kernel(mbw, mbh)

@@ -185,6 +185,12 @@ class Encoder:
         return bytes(out)
 
     def _loop_filter(self, fd: FrameData, seg: SegmentData) -> None:
+        if self.tpu is not None and self.tpu.filtered:
+            # the async filter-from-meta kernel already ran on device
+            from vp8oclenc_tpu.ops.backend import PendingRecon
+            self.tpu.filtered = False
+            self.recon = PendingRecon(self.tpu)
+            return
         skip, _ = TOK.mb_skip_flags(fd.levels, fd.parts)
         inner = (fd.parts != ARE16X16) | (~skip)
         if self.tpu is not None:
@@ -196,6 +202,30 @@ class Encoder:
             SPEC_LF.loop_filter_frame(ry, ru, rv, fd.segment_ids, inner, seg)
 
     def encode_frame(self, frame: Frame) -> bytes:
+        fd, seg = self._frame_pixels(frame)
+        self._finalize_fd(fd, seg)
+        return self._finish_frame(fd, seg)
+
+    def encode_frames(self, frames):
+        """Pipelined stream encode: the host entropy/packing of frame N
+        overlaps the device pixel kernels of frame N+1 (the TPU analog of
+        the reference's boolcoder-vs-GPU overlap, changelog.txt:29)."""
+        pending = None
+        for frame in frames:
+            nxt = self._frame_pixels(frame)
+            if pending is not None:
+                self._finalize_fd(pending[0], pending[1])
+                yield self._finish_frame(*pending)
+            pending = nxt
+        if pending is not None:
+            self._finalize_fd(pending[0], pending[1])
+            yield self._finish_frame(*pending)
+
+    def _finalize_fd(self, fd: FrameData, seg: SegmentData) -> None:
+        if self.tpu is not None:
+            self.tpu.finalize_framedata(fd, seg)
+
+    def _frame_pixels(self, frame: Frame):
         padded = pad_frame(frame)
         y, u, v = padded.y, padded.u, padded.v
 
@@ -224,7 +254,6 @@ class Encoder:
                 fd = self._encode_key(y, u, v, seg)
 
         self._loop_filter(fd, seg)
-        payload = self._finish_frame(fd, seg)
 
         # reference bookkeeping for the next frame
         if self.tpu is not None:
@@ -249,7 +278,7 @@ class Encoder:
         self.last_u = u.copy()
         self.last_v = v.copy()
         self.frame_number += 1
-        return payload
+        return fd, seg
 
     # ---- inter path (backend-provided; see ops/ and spec/inter.py) ----
     def _encode_inter(self, y, u, v, seg: SegmentData, is_golden: bool,
