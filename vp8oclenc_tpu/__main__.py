@@ -1,4 +1,5 @@
-"""CLI entry point: Y4M in, IVF out (same knobs as the reference encoder)."""
+"""CLI entry point: Y4M in, IVF out (same knobs as the reference encoder,
+/root/reference/src/init.h:1295-1608, plus TPU-specific controls)."""
 from __future__ import annotations
 
 import sys
@@ -6,17 +7,35 @@ import time
 
 from vp8oclenc_tpu.config import build_arg_parser, config_from_args
 from vp8oclenc_tpu.io.ivf import IVFWriter
-from vp8oclenc_tpu.io.y4m import Y4MReader
+from vp8oclenc_tpu.io.y4m import Y4MReader, Y4MWriter, crop_frame, Frame
 from vp8oclenc_tpu.pipeline.encoder import Encoder
 
 
 def main(argv=None) -> int:
-    args = build_arg_parser().parse_args(argv)
+    parser = build_arg_parser()
+    parser.add_argument("-dump-recon", dest="dump_recon", default=None,
+                        help="write the encoder's reconstruction as Y4M "
+                             "(the reference's debug dump, debug.h)")
+    parser.add_argument("-devices", action="store_true",
+                        help="print the accelerator inventory and exit")
+    args = parser.parse_args(argv)
+    if args.devices:
+        import jax
+        for i, d in enumerate(jax.devices()):
+            print(f"{i}. {d.platform}: {d}")
+        return 0
     cfg = config_from_args(args)
 
     reader = Y4MReader(args.input)
     info = reader.info
     enc = Encoder(cfg, info.width, info.height, backend=args.backend)
+
+    dump = None
+    dump_fh = None
+    if args.dump_recon:
+        dump_fh = open(args.dump_recon, "wb")
+        dump = Y4MWriter(dump_fh, info.width, info.height,
+                         info.fps_num, info.fps_den)
 
     with open(args.output, "wb") as fh:
         writer = IVFWriter(fh, info.width, info.height,
@@ -30,9 +49,19 @@ def main(argv=None) -> int:
                     return
                 yield frame
 
-        for n, payload in enumerate(enc.encode_frames(frame_iter())):
+        if dump is not None:
+            # sequential path: enc.recon must correspond to the just-written
+            # frame, which the pipelined generator runs one frame ahead of
+            payloads = (enc.encode_frame(f) for f in frame_iter())
+        else:
+            payloads = enc.encode_frames(frame_iter())
+        for n, payload in enumerate(payloads):
             writer.write_frame(payload)
             total_bytes += len(payload)
+            if dump is not None:
+                ry, ru, rv = enc.recon
+                dump.write_frame(crop_frame(Frame(ry, ru, rv),
+                                            info.width, info.height))
             if cfg.print_info:
                 fps = info.framerate
                 br = total_bytes * fps * 8 // (n + 1) // 1024
@@ -42,6 +71,13 @@ def main(argv=None) -> int:
         print(f"encoded {writer.frame_count} frames in {dt:.2f}s "
               f"({writer.frame_count / max(dt, 1e-9):.2f} fps), "
               f"{total_bytes} bytes")
+        st = enc.stats
+        print(f"{st.scene_changes_by_color} scene changes detected by color change")
+        print(f"{st.scene_changes_by_ssim} scene changes detected by low ssim value")
+        print(f"{st.scene_changes_by_replaced} scene changes detected by "
+              f"high amount of replaced blocks")
+    if dump_fh is not None:
+        dump_fh.close()
     return 0
 
 
