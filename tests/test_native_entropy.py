@@ -1,0 +1,61 @@
+"""Native C++ entropy path vs numpy fallback: identical records/probs/bytes."""
+import numpy as np
+import pytest
+
+from vp8oclenc_tpu import tables as TBL
+from vp8oclenc_tpu.entropy import tokens as TOK
+
+native = pytest.importorskip("vp8oclenc_tpu.native.packer")
+if not native.available():
+    pytest.skip("no native toolchain", allow_module_level=True)
+
+
+def synth_levels(mbw, mbh, seed=0, sparsity=0.8):
+    rng = np.random.default_rng(seed)
+    mbc = mbw * mbh
+    levels = rng.integers(-80, 80, (mbc, 25, 16)).astype(np.int16)
+    mask = rng.random((mbc, 25, 16)) > sparsity
+    levels = (levels * mask).astype(np.int16)
+    # a few big values to exercise cat5/cat6
+    big = rng.integers(0, levels.size, 40)
+    levels.reshape(-1)[big] = rng.integers(60, 2000, 40)
+    parts = rng.integers(0, 3, mbc).astype(np.int32)
+    # Y blocks of 16x16 MBs carry no DC level; Y2 only on 16x16 MBs
+    has_y2 = parts == TBL.ARE16X16
+    levels[has_y2, :16, 0] = 0
+    levels[~has_y2, 24, :] = 0
+    # force some fully-skipped MBs
+    levels[rng.integers(0, mbc, mbc // 5)] = 0
+    return levels, parts
+
+
+@pytest.mark.parametrize("nparts", [1, 2, 4])
+def test_native_matches_numpy(nparts):
+    mbw, mbh = 12, 9
+    levels, parts = synth_levels(mbw, mbh, seed=nparts)
+
+    nrec, num, den, nskip = native.tokenize_frame(levels, parts, mbw, mbh, nparts)
+    nprobs, nflags = TOK.probs_from_counts(num, den, nparts)
+
+    pskip, _ = TOK.mb_skip_flags(levels, parts)
+    tokdata = TOK.tokenize_frame(levels, parts, mbw, mbh)
+    pprobs, pflags = TOK.count_probs(tokdata, nparts, mbw, mbh)
+    order = TOK.emission_order(parts, pskip, mbw, mbh, nparts)
+    precs = TOK.build_token_records(tokdata, order)
+
+    assert np.array_equal(nskip, pskip)
+    assert np.array_equal(nprobs, pprobs)
+    assert np.array_equal(nflags, pflags)
+    for p in range(nparts):
+        assert len(nrec[p]) == len(precs[p]), \
+            f"partition {p}: {len(nrec[p])} vs {len(precs[p])} records"
+        for f in ("tok", "ctx1", "band", "ctx3", "skipfb", "sign", "extra"):
+            assert np.array_equal(nrec[p][f], precs[p][f]), \
+                f"partition {p} field {f}"
+        # and the packed bytes agree end-to-end
+        nb = native.pack_tokens(np.ascontiguousarray(nrec[p]), nprobs)
+        pp, pb = TOK.records_to_bools(precs[p], pprobs)
+        from vp8oclenc_tpu.entropy.boolcoder import BoolEncoder
+        e = BoolEncoder()
+        e.put_many(pp, pb)
+        assert nb == e.flush()

@@ -147,6 +147,8 @@ def tokenize_frame(levels: np.ndarray, parts: np.ndarray, mbw: int, mbh: int):
     tok = classify_tokens(lv)
     tok = np.where(pos[None, None, :] == eob_pos[:, :, None], DCT_EOB, tok)
     coded = considered & (pos[None, None, :] <= eob_pos[:, :, None])
+    # the Y2 block exists only on 16x16 MBs
+    coded[:, 24, :] &= has_y2[:, None]
 
     # prev token (for skip-first-bit and running ctx3)
     prev_tok = np.full_like(tok, -1)
@@ -168,9 +170,10 @@ def tokenize_frame(levels: np.ndarray, parts: np.ndarray, mbw: int, mbh: int):
     ctx1[:, 16:24] = 2
     ctx1[:, 24] = 1
 
+    mb_skip, _ = mb_skip_flags(levels, parts)
     return dict(tok=tok.astype(np.int32), sign=sign, extra=extra.astype(np.int64),
                 coded=coded, skipfb=skipfb, ctx3=ctx3.astype(np.int32),
-                ctx1=ctx1, first=first, eob_pos=eob_pos)
+                ctx1=ctx1, first=first, eob_pos=eob_pos, mb_skip=mb_skip)
 
 
 def mb_skip_flags(levels: np.ndarray, parts: np.ndarray):
@@ -233,6 +236,19 @@ def build_token_records(tokdata: dict, order) -> list[np.ndarray]:
     return recs
 
 
+def probs_from_counts(num: np.ndarray, den: np.ndarray, num_partitions: int):
+    """Final coefficient probabilities from raw (zeros, bools) counts —
+    shared by the numpy and native counting paths."""
+    num = num.reshape(-1).astype(np.int64)
+    den = den.reshape(-1).astype(np.int64)
+    den_total = den + num_partitions
+    probs = np.clip((num << 8) // den_total, 1, 255)
+    exercised = den >= 1
+    probs = np.where(exercised, probs, TBL.DEFAULT_COEFF_PROBS.reshape(-1))
+    return (probs.reshape(4, 8, 3, 11).astype(np.uint8),
+            exercised.reshape(4, 8, 3, 11))
+
+
 def count_probs(tokdata: dict, num_partitions: int, mbw: int, mbh: int):
     """Per-context (numerator=zeros, denominator=bools) counts over tree bits,
     merged across partitions; probs = clamp(256*num/denom, 1, 255); contexts
@@ -240,7 +256,9 @@ def count_probs(tokdata: dict, num_partitions: int, mbw: int, mbh: int):
     defaults (reference vp8enc.cpp:76-83, CPU_kernels.cl:541-778).
 
     Returns (probs (4,8,3,11) uint8, exercised (4,8,3,11) bool)."""
-    coded = tokdata["coded"]
+    # skipped MBs are never coded, so their (EOB-only) blocks must not be
+    # counted (reference count_probs skips them, CPU_kernels.cl:578-579)
+    coded = tokdata["coded"] & ~tokdata["mb_skip"][:, None, None]
     tok = tokdata["tok"][coded]
     ctx1 = np.broadcast_to(tokdata["ctx1"][:, :, None], coded.shape)[coded]
     band = COEFF_BANDS[np.broadcast_to(np.arange(16), coded.shape)[coded]]

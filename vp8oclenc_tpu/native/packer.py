@@ -14,6 +14,7 @@ import numpy as np
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, "packer.cpp")
+_SRC2 = os.path.join(_HERE, "tokenizer.cpp")
 _SO = os.path.join(_HERE, "_packer.so")
 
 _lib = None
@@ -22,13 +23,13 @@ _tried = False
 
 def _build() -> bool:
     try:
-        src_mtime = os.path.getmtime(_SRC)
+        src_mtime = max(os.path.getmtime(_SRC), os.path.getmtime(_SRC2))
         if os.path.exists(_SO) and os.path.getmtime(_SO) >= src_mtime:
             return True
         with tempfile.TemporaryDirectory() as td:
             tmp = os.path.join(td, "_packer.so")
             subprocess.run(
-                ["g++", "-O3", "-shared", "-fPIC", "-o", tmp, _SRC],
+                ["g++", "-O3", "-shared", "-fPIC", "-o", tmp, _SRC, _SRC2],
                 check=True, capture_output=True)
             os.replace(tmp, _SO)
         return True
@@ -47,6 +48,10 @@ def _load():
     lib.vp8_pack_bools.restype = ctypes.c_size_t
     lib.vp8_pack_bools.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
                                    ctypes.c_size_t, ctypes.c_void_p]
+    lib.vp8_tokenize_frame.restype = None
+    lib.vp8_tokenize_frame.argtypes = [ctypes.c_void_p] * 2 + \
+        [ctypes.c_int] * 3 + [ctypes.c_void_p, ctypes.c_int64] + \
+        [ctypes.c_void_p] * 4 + [ctypes.c_void_p] * 3
     lib.vp8_pack_tokens.restype = ctypes.c_size_t
     lib.vp8_pack_tokens.argtypes = [ctypes.c_void_p, ctypes.c_size_t,
                                     ctypes.c_void_p, ctypes.c_void_p,
@@ -93,3 +98,36 @@ def pack_tokens(records: np.ndarray, probs: np.ndarray) -> bytes:
                              lens.ctypes.data, pcat.ctypes.data,
                              nbits.ctypes.data, out.ctypes.data)
     return out[:ln].tobytes()
+
+
+def tokenize_frame(levels: np.ndarray, parts: np.ndarray, mbw: int, mbh: int,
+                   nparts: int):
+    """Full-frame tokenization in C++.
+
+    Returns (records list per partition, num (4,8,3,11) int64,
+    den (4,8,3,11) int64, skip (mbc,) bool)."""
+    from vp8oclenc_tpu import tables as TBL
+    from vp8oclenc_tpu.entropy.tokens import TOKEN_RECORD_DTYPE
+
+    lib = _load()
+    mbc = mbw * mbh
+    rows_per_part = -(-mbh // nparts)
+    stride = rows_per_part * mbw * 400
+    rec = np.zeros(nparts * stride, dtype=TOKEN_RECORD_DTYPE)
+    counts = np.zeros(nparts, dtype=np.int64)
+    num = np.zeros(4 * 8 * 3 * 11, dtype=np.int64)
+    den = np.zeros(4 * 8 * 3 * 11, dtype=np.int64)
+    skip = np.zeros(mbc, dtype=np.uint8)
+    levels = np.ascontiguousarray(levels, dtype=np.int16)
+    parts = np.ascontiguousarray(parts, dtype=np.int32)
+    nodes = np.ascontiguousarray(TBL.COEFF_TOKEN_NODES, dtype=np.int32)
+    bits = np.ascontiguousarray(TBL.COEFF_TOKEN_BITS, dtype=np.int32)
+    lens = np.ascontiguousarray(TBL.COEFF_TOKEN_LENS, dtype=np.int32)
+    lib.vp8_tokenize_frame(
+        levels.ctypes.data, parts.ctypes.data, mbw, mbh, nparts,
+        rec.ctypes.data, stride, counts.ctypes.data,
+        num.ctypes.data, den.ctypes.data, skip.ctypes.data,
+        nodes.ctypes.data, bits.ctypes.data, lens.ctypes.data)
+    records = [rec[p * stride: p * stride + counts[p]] for p in range(nparts)]
+    return (records, num.reshape(4, 8, 3, 11), den.reshape(4, 8, 3, 11),
+            skip.astype(bool))

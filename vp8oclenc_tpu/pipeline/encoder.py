@@ -147,25 +147,31 @@ class Encoder:
     # ---- entropy + assembly (shared) ----
     def _finish_frame(self, fd: FrameData, seg: SegmentData) -> bytes:
         cfg = self.cfg
-        skip, nzc = TOK.mb_skip_flags(fd.levels, fd.parts)
-        fd.skip = skip
-        n_coded = int(np.sum(~skip))
-        fd.skip_prob = int(np.clip(n_coded * 256 // self.mbc, 2, 254))
-
-        tokdata = TOK.tokenize_frame(fd.levels, fd.parts, self.mbw, self.mbh)
-        probs, flags = TOK.count_probs(tokdata, cfg.num_partitions,
-                                       self.mbw, self.mbh)
-        fd.coeff_probs = probs
-        fd.coeff_update_flags = flags
-
-        order = TOK.emission_order(fd.parts, skip, self.mbw, self.mbh,
-                                   cfg.num_partitions)
-        records = TOK.build_token_records(tokdata, order)
         try:
             from vp8oclenc_tpu.native import packer as native
             use_native = native.available()
         except Exception:
             use_native = False
+
+        if use_native:
+            records, num, den, skip = native.tokenize_frame(
+                fd.levels, fd.parts, self.mbw, self.mbh, cfg.num_partitions)
+            probs, flags = TOK.probs_from_counts(num, den, cfg.num_partitions)
+        else:
+            skip, _ = TOK.mb_skip_flags(fd.levels, fd.parts)
+            tokdata = TOK.tokenize_frame(fd.levels, fd.parts, self.mbw, self.mbh)
+            probs, flags = TOK.count_probs(tokdata, cfg.num_partitions,
+                                           self.mbw, self.mbh)
+            order = TOK.emission_order(fd.parts, skip, self.mbw, self.mbh,
+                                       cfg.num_partitions)
+            records = TOK.build_token_records(tokdata, order)
+
+        fd.skip = skip
+        n_coded = int(np.sum(~skip))
+        fd.skip_prob = int(np.clip(n_coded * 256 // self.mbc, 2, 254))
+        fd.coeff_probs = probs
+        fd.coeff_update_flags = flags
+
         partitions = []
         for rec in records:
             if use_native:
