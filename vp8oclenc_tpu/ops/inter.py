@@ -8,12 +8,22 @@ requantization loop with per-MB SSIM, and Y2/WHT handling — the entire
 reference GPU program (/root/reference/src/inter_part.h:96-384 and the
 kernels it launches) as one XLA-compiled function.
 
-The refs axis is batched (LAST/GOLDEN/ALTREF as a leading dim) instead of the
-reference's 3 command queues x 15 kernel instances (init.h:204-225).
+TPU-native data movement: reference planes are stored with an edge-replicated
+apron and (8,16)-tiled so every data-dependent patch read becomes an
+embedding-style row gather of 128-byte tiles (fast path of the XLA TPU
+gather) followed by static-shift selects — arbitrary per-element gathers are
+~100x slower on TPU and are never used.  The refs axis is batched
+(LAST/GOLDEN/ALTREF as a leading dim) instead of the reference's 3 command
+queues x 15 kernel instances (init.h:204-225).  The luma motion-compensated
+prediction is fused into the quarter-pel search: every candidate's
+interpolated block is already computed for its cost, so the winner's
+prediction is kept via masked selects and the separate whole-plane luma MC
+pass (reference prepare_predictors_and_residual, GPU_kernels.cl:1285-1344)
+disappears entirely.
 """
 from __future__ import annotations
 
-from functools import lru_cache, partial
+from functools import lru_cache
 
 import jax
 import jax.numpy as jnp
@@ -28,7 +38,75 @@ BIG = jnp.int32(1 << 28)
 SSIM_C1 = 0.01 * 0.01 * 255 * 255
 SSIM_C2 = 0.03 * 0.03 * 255 * 255
 
+# max full-res excursion of any ref read: |v|<=62 fullpel (2 per level x
+# pixel_rate) + search window 2 + six-tap apron 3 + qpel shift 1 < 80
+PAD_Y_FULL = 80
+PAD_C_FULL = 48          # chroma reads at |v|/2 + aprons < 48
+
 _SIXTAP = np.asarray(SIXTAP_FILTERS)
+
+
+# ---------------------------------------------------------------------------
+# padded, tile-aligned reference planes + the tile-row patch gather
+# ---------------------------------------------------------------------------
+
+def _pad_tiles(p, pad_y: int, pad_x: int):
+    """Edge-replicate pad by (pad_y, pad_x) at top/left and at least as much
+    at bottom/right, rounding the padded dims up to (8, 16) tile multiples.
+    Replication makes the spec oracle's per-element index clamp a no-op:
+    any in-apron read returns exactly the clamped edge value."""
+    H, W = p.shape[-2], p.shape[-1]
+    PH = -(-(H + 2 * pad_y) // 8) * 8
+    PW = -(-(W + 2 * pad_x) // 16) * 16
+    cfg = ((0, 0),) * (p.ndim - 2) + ((pad_y, PH - H - pad_y),
+                                      (pad_x, PW - W - pad_x))
+    return jnp.pad(p, cfg, mode="edge")
+
+
+def _tile_take_patch(planes, pidx, gy, gx, ph: int, pw: int):
+    """planes (K, PH, PW) u8 padded+tile-aligned; pidx/gy/gx (..., n) int32
+    (gy/gx = padded-coordinate top-left).  Returns (..., n, ph, pw) u8.
+
+    One jnp.take of whole 128B tile rows (the fast TPU gather path), then
+    static-slice select chains for the sub-tile (row, col) offsets."""
+    K, PH, PW = planes.shape
+    TB, TC = PH // 8, PW // 16
+    tr = -(-(ph + 7) // 8)
+    tc = -(-(pw + 15) // 16)
+    table = planes.reshape(K, TB, 8, TC, 16).transpose(0, 1, 3, 2, 4) \
+                  .reshape(K * TB * TC, 128)
+    # valid iff the tile block [ty, ty+tr) x [tx, tx+tc) is in range; the
+    # sub-tile offsets ry<=7 / rx<=15 always fit (8*tr >= ph+7, 16*tc >= pw+15)
+    gy = jnp.clip(gy, 0, 8 * (TB - tr) + 7)
+    gx = jnp.clip(gx, 0, 16 * (TC - tc) + 15)
+    ty, tx = gy // 8, gx // 16
+    ry, rx = gy % 8, gx % 16
+    base = pidx * (TB * TC) + ty * TC + tx
+    off = (jnp.arange(tr)[:, None] * TC + jnp.arange(tc)).reshape(-1)
+    tid = base[..., None] + off                          # (..., n, tr*tc)
+    lead = tid.shape[:-1]
+    g = jnp.take(table, tid.reshape(-1), axis=0)
+    g = g.reshape(*lead, tr, tc, 8, 16)
+    patch = jnp.swapaxes(g, -3, -2).reshape(*lead, tr * 8, tc * 16)
+    out = jax.lax.slice_in_dim(patch, 0, ph, axis=-2)
+    for k in range(1, 8):
+        out = jnp.where((ry == k)[..., None, None],
+                        jax.lax.slice_in_dim(patch, k, k + ph, axis=-2), out)
+    res = jax.lax.slice_in_dim(out, 0, pw, axis=-1)
+    for k in range(1, 16):
+        res = jnp.where((rx == k)[..., None, None],
+                        jax.lax.slice_in_dim(out, k, k + pw, axis=-1), res)
+    return res
+
+
+def _taps_select(ph):
+    """(..., n) phase indices -> (..., n, 6) six-tap coefficients via static
+    selects (no table gather; taps are compile-time constants)."""
+    out = jnp.zeros(ph.shape + (6,), dtype=jnp.int32)
+    for p in range(8):
+        t = jnp.asarray(np.asarray(SIXTAP_FILTERS[p], np.int32))
+        out = jnp.where((ph == p)[..., None], t, out)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -43,29 +121,27 @@ def downsample2(p):
     return ((s + 2) // 4).astype(jnp.uint8)
 
 
+def build_ref_pyramid(refs, H: int, W: int):
+    """refs (R, H, W) u8 -> list of (padded plane, (pad_y, pad_x), (H_l, W_l))
+    per level.  Each level is padded from its own interior (an apron that
+    rode through the box downsample would replicate the *full-res* edge row,
+    not the downsampled one, and diverge from per-element clamping)."""
+    out = []
+    plane = refs
+    pad = PAD_Y_FULL
+    h, w = H, W
+    for lvl in range(5):
+        out.append((_pad_tiles(plane, pad, pad), (pad, pad), (h, w)))
+        if lvl < 4:
+            plane = downsample2(plane)
+            pad //= 2
+            h, w = h // 2, w // 2
+    return out
+
+
 # ---------------------------------------------------------------------------
 # search
 # ---------------------------------------------------------------------------
-
-def _gather2d(plane, ys, xs):
-    """One flat gather: plane (..., H, W); ys (..., n, a); xs (..., n, b) ->
-    (..., n, a, b).  Avoids the (..., n, a, W) row-gather intermediate."""
-    H, W = plane.shape[-2], plane.shape[-1]
-    idx = ys[..., :, None] * W + xs[..., None, :]          # (..., n, a, b)
-    lead = idx.shape[:-3]
-    n, a, b = idx.shape[-3:]
-    flat = plane.reshape(*plane.shape[:-2], H * W)
-    out = jnp.take_along_axis(flat, idx.reshape(*lead, n * a * b), axis=-1)
-    return out.reshape(*lead, n, a, b).astype(jnp.int32)
-
-
-def _gather_blocks(plane, py, px, size: int):
-    """plane (..., H, W); py/px (..., n) -> (..., n, size, size), clipped."""
-    H, W = plane.shape[-2], plane.shape[-1]
-    ys = jnp.clip(py[..., None] + jnp.arange(size), 0, H - 1)
-    xs = jnp.clip(px[..., None] + jnp.arange(size), 0, W - 1)
-    return _gather2d(plane, ys, xs)
-
 
 def _block_cost_8x8(cur_blocks, ref_blocks):
     res = cur_blocks.astype(jnp.int32) - ref_blocks.astype(jnp.int32)
@@ -75,9 +151,6 @@ def _block_cost_8x8(cur_blocks, ref_blocks):
 
 
 def _plane_blocks8(plane):
-    """(..., H, W) -> (..., n, 8, 8) regular 8x8 blocks via reshape (no
-    gather); trailing partial blocks are cropped (pyramid levels may not be
-    multiples of 8)."""
     H, W = plane.shape[-2], plane.shape[-1]
     nby, nbx = H // 8, W // 8
     lead = plane.shape[:-2]
@@ -86,16 +159,13 @@ def _plane_blocks8(plane):
     return b.reshape(*lead, nby * nbx, 8, 8).astype(jnp.int32)
 
 
-def search_level(cur, refs, src_vec, pixel_rate: int, penalty: bool):
-    """cur (H, W); refs (R, H, W); src_vec (R, nbyc, nbxc, 2) or None.
-    Returns (R, nby, nbx, 2) full-res-pixel vectors.
-
-    TPU-native form: one 12x12 patch gather per block around the inherited
-    vector (25 candidates become static slices of the patch), and the
-    zero-centered window evaluated as 25 shifted whole-plane residuals
-    (pure reshapes + elementwise — no gather at all)."""
+def search_level(cur, ref_pad, pads, src_vec, pixel_rate: int, penalty: bool):
+    """cur (H, W) unpadded; ref_pad (R, PH, PW) padded; pads = (pad_y, pad_x).
+    src_vec (R, nbyc, nbxc, 2) or None.  Returns (R, nby, nbx, 2) vectors
+    in full-res pixel units."""
     H, W = cur.shape
-    R = refs.shape[0]
+    R = ref_pad.shape[0]
+    py0, px0 = pads
     nbx, nby = W // 8, H // 8
     n = nbx * nby
     cx = jnp.tile(jnp.arange(nbx) * 8, nby)
@@ -129,10 +199,11 @@ def search_level(cur, refs, src_vec, pixel_rate: int, penalty: bool):
         best_y = jnp.where(better, py, best_y)
         best_cost = jnp.where(better, cost, best_cost)
 
-    # --- window 1: +-2 around the inherited vector (12x12 patch gather) ---
-    ys = jnp.clip((cy[None] + v0y - 2)[..., None] + jnp.arange(12), 0, H - 1)
-    xs = jnp.clip((cx[None] + v0x - 2)[..., None] + jnp.arange(12), 0, W - 1)
-    patch = _gather2d(refs, ys, xs)                    # (R, n, 12, 12)
+    # --- window 1: +-2 around the inherited vector (12x12 tile-take) ---
+    ridx = jnp.broadcast_to(jnp.arange(R)[:, None], (R, n))
+    patch = _tile_take_patch(ref_pad, ridx,
+                             cy[None] + v0y + (py0 - 2),
+                             cx[None] + v0x + (px0 - 2), 12, 12)
     for dxy in range(25):
         dx, dy = (dxy % 5) - 2, (dxy // 5) - 2
         ref_b = jax.lax.slice_in_dim(
@@ -141,36 +212,17 @@ def search_level(cur, refs, src_vec, pixel_rate: int, penalty: bool):
         cost = _block_cost_8x8(cur_blocks[None], ref_b)
         consider(cx[None] + v0x + dx, cy[None] + v0y + dy, cost)
 
-    # --- window 2: +-2 around zero (shifted whole-plane slices, no gather) ---
-    pad = jnp.pad(refs, ((0, 0), (2, 2), (2, 2)), mode="edge")
+    # --- window 2: +-2 around zero (static slices of the padded plane) ---
     for dxy in range(25):
         dx, dy = (dxy % 5) - 2, (dxy // 5) - 2
-        shifted = jax.lax.slice(pad, (0, dy + 2, dx + 2),
-                                (R, dy + 2 + H, dx + 2 + W))
+        shifted = jax.lax.slice(ref_pad, (0, py0 + dy, px0 + dx),
+                                (R, py0 + dy + H, px0 + dx + W))
         cost = _block_cost_8x8(cur_blocks[None], _plane_blocks8(shifted))
         consider(cx[None] + dx, cy[None] + dy, cost)
 
     vx = (best_x - cx[None]) * pixel_rate
     vy = (best_y - cy[None]) * pixel_rate
     return jnp.stack([vx, vy], axis=-1).reshape(R, nby, nbx, 2)
-
-
-def _sixtap_blocks(ref, fy, fx, phy, phx, size: int, taps):
-    """ref (..., H, W); fy/fx/phy/phx (..., n) -> (..., n, size, size).
-    taps: the (8, 6) six-tap table, passed as a traced argument (committed
-    constants are pathologically slow to lower through the TPU tunnel)."""
-    H, W = ref.shape[-2], ref.shape[-1]
-    ext = size + 5
-    ys = jnp.clip(fy[..., None] + jnp.arange(-2, size + 3), 0, H - 1)
-    xs = jnp.clip(fx[..., None] + jnp.arange(-2, size + 3), 0, W - 1)
-    patch = _gather2d(ref, ys, xs)                     # (..., n, ext, ext)
-    tx = taps[phx]                                     # (..., n, 6)
-    h = sum(patch[..., :, k:k + size] * tx[..., None, k:k + 1]
-            for k in range(6))
-    h = jnp.clip((h + 64) >> 7, 0, 255)
-    ty = taps[phy]
-    v = sum(h[..., k:k + size, :] * ty[..., k:k + 1, None] for k in range(6))
-    return jnp.clip((v + 64) >> 7, 0, 255)
 
 
 def _sixtap_static(patch, phase_x: int, phase_y: int, size: int):
@@ -184,79 +236,6 @@ def _sixtap_static(patch, phase_x: int, phase_y: int, size: int):
     v = sum(int(fy[k]) * h[..., k:k + size, :] for k in range(6)
             if int(fy[k]) != 0)
     return jnp.clip((v + 64) >> 7, 0, 255)
-
-
-def search_qpel(cur, refs, fullpel_vec, taps):
-    """cur (H,W); refs (R,H,W); fullpel_vec (R, nby, nbx, 2).
-    Returns (vectors (R,nby,nbx,2) qpel, Bdiff (R,nby,nbx)).
-
-    The 25 refinement candidates sit at +-2 qpel around a *full-pel* base, so
-    every block shares the candidate's subpel phase: interpolation becomes a
-    static-coefficient convolution over one 17x17 patch per block."""
-    H, W = cur.shape
-    R = refs.shape[0]
-    nbx, nby = W // 8, H // 8
-    n = nbx * nby
-    cx = jnp.tile(jnp.arange(nbx) * 8, nby) * 4
-    cy = jnp.repeat(jnp.arange(nby) * 8, nbx) * 4
-    v0 = fullpel_vec.reshape(R, n, 2) * 4
-    v0x, v0y = v0[..., 0], v0[..., 1]
-
-    cur_blocks = _plane_blocks8(cur)                   # (n, 8, 8)
-
-    # one 17x17 patch per block: fullpel base c+v0, margin -3..+13
-    # (interp apron -2..+3 per 4x4 half, +-1 fullpel candidate shift)
-    fy0 = (cy + 0)[None] // 4 + fullpel_vec.reshape(R, n, 2)[..., 1] - 3
-    fx0 = (cx + 0)[None] // 4 + fullpel_vec.reshape(R, n, 2)[..., 0] - 3
-    ys = jnp.clip(fy0[..., None] + jnp.arange(17), 0, H - 1)
-    xs = jnp.clip(fx0[..., None] + jnp.arange(17), 0, W - 1)
-    patch = _gather2d(refs, ys, xs)                    # (R, n, 17, 17)
-
-    best_cost = jnp.full((R, n), BIG, dtype=jnp.int32)
-    best_x = jnp.zeros((R, n), dtype=jnp.int32)
-    best_y = jnp.zeros((R, n), dtype=jnp.int32)
-
-    def consider(px, py, cost, with_penalty):
-        nonlocal best_x, best_y, best_cost
-        if with_penalty:
-            cost = cost + (jnp.abs(px - cx[None] - v0x)
-                           + jnp.abs(py - cy[None] - v0y)) \
-                * (VECTOR_DIFF_WEIGHT // 2)
-        invalid = (px < 0) | (px > W * 4 - 32) | (py < 0) | (py > H * 4 - 32)
-        cost = jnp.where(invalid, BIG, cost).astype(jnp.int32)
-        better = cost < best_cost
-        best_x = jnp.where(better, px, best_x)
-        best_y = jnp.where(better, py, best_y)
-        best_cost = jnp.where(better, cost, best_cost)
-
-    for cand in range(25):
-        dx, dy = (cand % 5) - 2, (cand // 5) - 2
-        sx = (dx % 4 + 4) % 4        # phase (dx mod 4, python semantics ok)
-        sy = (dy % 4 + 4) % 4
-        ox = (dx - sx) // 4          # fullpel shift (-1 or 0)
-        oy = (dy - sy) // 4
-        # 8x8 prediction built from the two 4x4 column/row halves at once:
-        # slice a 13x13 region then interpolate 8x8 directly (the quadrant
-        # construction in the reference concatenates exactly these values)
-        sub = patch[..., 3 + oy - 2: 3 + oy + 11, 3 + ox - 2: 3 + ox + 11]
-        pred = _sixtap_interp8(sub, sx * 2, sy * 2)
-        cost = _block_cost_8x8(cur_blocks[None], pred)
-        consider(cx[None] + v0x + dx, cy[None] + v0y + dy, cost, True)
-
-    # candidate 25: absolute zero MV, phase 0 -> plain block compare
-    zero_blocks = _plane_blocks8(refs)                 # (R, n, 8, 8)
-    cost = _block_cost_8x8(cur_blocks[None], zero_blocks)
-    consider(jnp.broadcast_to(cx, (R, n)), jnp.broadcast_to(cy, (R, n)),
-             cost, False)
-
-    vx = best_x - cx[None]
-    vy = best_y - cy[None]
-    nonzero = (vx != 0) | (vy != 0)
-    best_cost = best_cost - jnp.where(
-        nonzero,
-        (jnp.abs(vx - v0x) + jnp.abs(vy - v0y)) * (VECTOR_DIFF_WEIGHT // 2), 0)
-    return (jnp.stack([vx, vy], axis=-1).reshape(R, nby, nbx, 2),
-            best_cost.reshape(R, nby, nbx))
 
 
 def _sixtap_interp8(sub, phase_x: int, phase_y: int):
@@ -275,45 +254,113 @@ def _sixtap_interp8(sub, phase_x: int, phase_y: int):
     return jnp.concatenate(quads, axis=-2)
 
 
-def hierarchical_search(cur_pyr, ref_pyrs, taps):
-    """cur_pyr: list of (H_l, W_l); ref_pyrs: list of (R, H_l, W_l)."""
+def search_qpel(cur, ref_pad, pads, fullpel_vec):
+    """cur (H,W); ref_pad (R,PH,PW) padded; fullpel_vec (R, nby, nbx, 2).
+    Returns (vectors (R,nby,nbx,2) qpel, Bdiff (R,nby,nbx),
+    best_pred (R, n, 8, 8) — the winning candidate's interpolated block,
+    i.e. the luma motion-compensated prediction, for free).
+
+    The 25 refinement candidates sit at +-2 qpel around a *full-pel* base, so
+    every block shares the candidate's subpel phase: interpolation becomes a
+    static-coefficient convolution over one 17x17 patch per block."""
+    H, W = cur.shape
+    R = ref_pad.shape[0]
+    py0, px0 = pads
+    nbx, nby = W // 8, H // 8
+    n = nbx * nby
+    cx = jnp.tile(jnp.arange(nbx) * 8, nby) * 4
+    cy = jnp.repeat(jnp.arange(nby) * 8, nbx) * 4
+    v0 = fullpel_vec.reshape(R, n, 2) * 4
+    v0x, v0y = v0[..., 0], v0[..., 1]
+
+    cur_blocks = _plane_blocks8(cur)                   # (n, 8, 8)
+
+    # one 17x17 patch per block: fullpel base c+v0, margin -3..+13
+    # (interp apron -2..+3 per 4x4 half, +-1 fullpel candidate shift)
+    fv = fullpel_vec.reshape(R, n, 2)
+    ridx = jnp.broadcast_to(jnp.arange(R)[:, None], (R, n))
+    patch = _tile_take_patch(ref_pad, ridx,
+                             cy[None] // 4 + fv[..., 1] + (py0 - 3),
+                             cx[None] // 4 + fv[..., 0] + (px0 - 3), 17, 17)
+
+    best_cost = jnp.full((R, n), BIG, dtype=jnp.int32)
+    best_x = jnp.zeros((R, n), dtype=jnp.int32)
+    best_y = jnp.zeros((R, n), dtype=jnp.int32)
+    best_pred = jnp.zeros((R, n, 8, 8), dtype=jnp.int32)
+
+    def consider(px, py, cost, pred, with_penalty):
+        nonlocal best_x, best_y, best_cost, best_pred
+        if with_penalty:
+            cost = cost + (jnp.abs(px - cx[None] - v0x)
+                           + jnp.abs(py - cy[None] - v0y)) \
+                * (VECTOR_DIFF_WEIGHT // 2)
+        invalid = (px < 0) | (px > W * 4 - 32) | (py < 0) | (py > H * 4 - 32)
+        cost = jnp.where(invalid, BIG, cost).astype(jnp.int32)
+        better = cost < best_cost
+        best_x = jnp.where(better, px, best_x)
+        best_y = jnp.where(better, py, best_y)
+        best_cost = jnp.where(better, cost, best_cost)
+        best_pred = jnp.where(better[..., None, None], pred, best_pred)
+
+    for cand in range(25):
+        dx, dy = (cand % 5) - 2, (cand // 5) - 2
+        sx = (dx % 4 + 4) % 4        # phase (dx mod 4, python semantics ok)
+        sy = (dy % 4 + 4) % 4
+        ox = (dx - sx) // 4          # fullpel shift (-1 or 0)
+        oy = (dy - sy) // 4
+        # 8x8 prediction built from the two 4x4 column/row halves at once:
+        # slice a 13x13 region then interpolate per 4x4 quadrant (the
+        # construction in the reference concatenates exactly these values)
+        sub = patch[..., 3 + oy - 2: 3 + oy + 11, 3 + ox - 2: 3 + ox + 11]
+        pred = _sixtap_interp8(sub.astype(jnp.int32), sx * 2, sy * 2)
+        cost = _block_cost_8x8(cur_blocks[None], pred)
+        consider(cx[None] + v0x + dx, cy[None] + v0y + dy, cost, pred, True)
+
+    # candidate 25: absolute zero MV, phase 0 -> plain block compare
+    zero_plane = jax.lax.slice(ref_pad, (0, py0, px0), (R, py0 + H, px0 + W))
+    zero_blocks = _plane_blocks8(zero_plane)           # (R, n, 8, 8)
+    cost = _block_cost_8x8(cur_blocks[None], zero_blocks)
+    consider(jnp.broadcast_to(cx, (R, n)), jnp.broadcast_to(cy, (R, n)),
+             cost, zero_blocks, False)
+
+    vx = best_x - cx[None]
+    vy = best_y - cy[None]
+    nonzero = (vx != 0) | (vy != 0)
+    best_cost = best_cost - jnp.where(
+        nonzero,
+        (jnp.abs(vx - v0x) + jnp.abs(vy - v0y)) * (VECTOR_DIFF_WEIGHT // 2), 0)
+    return (jnp.stack([vx, vy], axis=-1).reshape(R, nby, nbx, 2),
+            best_cost.reshape(R, nby, nbx), best_pred)
+
+
+def hierarchical_search(cur_pyr, ref_pyr):
+    """cur_pyr: list of (H_l, W_l) planes; ref_pyr: build_ref_pyramid output.
+    Returns (vectors, Bdiff, best_pred) from the qpel stage."""
     vec = None
-    for lvl, rate in ((4, 16), (3, 8), (2, 4), (1, 2), (0, 1)):
+    for lvl, rate in ((4, 16), (3, 8), (2, 4), (1, 2)):
         h, w = cur_pyr[lvl].shape
         if (w // 8) == 0 or (h // 8) == 0:
             continue
-        vec = search_level(cur_pyr[lvl], ref_pyrs[lvl], vec, rate,
+        plane, pads, _ = ref_pyr[lvl]
+        vec = search_level(cur_pyr[lvl], plane, pads, vec, rate,
                            penalty=(rate < 4))
-    return search_qpel(cur_pyr[0], ref_pyrs[0], vec, taps)
+    plane, pads, _ = ref_pyr[0]
+    vec = search_level(cur_pyr[0], plane, pads, vec, 1, penalty=True)
+    return search_qpel(cur_pyr[0], plane, pads, vec)
 
 
 # ---------------------------------------------------------------------------
-# motion compensation
+# motion compensation (chroma; luma prediction comes fused from search_qpel)
 # ---------------------------------------------------------------------------
 
-def mc_predict_plane(ref, mvs, mb_idx, q_idx, scale: int, H: int, W: int,
-                     taps):
-    """ref (H, W); mvs (mbc, 4, 2); mb_idx/q_idx: (n,) per-4x4-block maps."""
-    nbx = W // 4
-    n = (H // 4) * nbx
-    bx = jnp.tile(jnp.arange(nbx), H // 4)
-    by = jnp.repeat(jnp.arange(H // 4), nbx)
-    v = mvs[mb_idx, q_idx]                              # (n, 2)
-    ax = bx * 4 * scale + v[:, 0]
-    ay = by * 4 * scale + v[:, 1]
-    blocks = _sixtap_blocks(ref, ay // scale, ax // scale,
-                            (ay % scale) * (8 // scale),
-                            (ax % scale) * (8 // scale), 4, taps)
-    return blocks.reshape(H // 4, nbx, 4, 4).swapaxes(1, 2).reshape(H, W)
+def mc_predict_selected(refs_pad, pads, mvs, sel, mb_idx, q_idx, scale: int,
+                        H: int, W: int):
+    """Single-pass chroma MC from the per-MB *selected* reference.
 
-
-def mc_predict_selected(refs, mvs, sel, mb_idx, q_idx, scale: int, H: int,
-                        W: int, taps):
-    """Single-pass MC from the per-MB *selected* reference.
-
-    refs (3, H, W); sel (mbc,) in 0..2.  One flat gather over the stacked
-    reference planes (ref offset folded into the index) — a third of the
-    gather volume of predicting all three refs."""
+    refs_pad (3, PH, PW) padded; sel (mbc,) in 0..2; mvs (mbc, 4, 2) in
+    quarter-pel (luma) units; per 4x4 block a (9,9) six-tap source patch is
+    fetched with one tile-row take from the selected ref."""
+    py0, px0 = pads
     nbx = W // 4
     n = (H // 4) * nbx
     bx = jnp.tile(jnp.arange(nbx), H // 4)
@@ -324,17 +371,14 @@ def mc_predict_selected(refs, mvs, sel, mb_idx, q_idx, scale: int, H: int,
     fy, fx = ay // scale, ax // scale
     phy = (ay % scale) * (8 // scale)
     phx = (ax % scale) * (8 // scale)
-    ys = jnp.clip(fy[:, None] + jnp.arange(-2, 7), 0, H - 1)   # (n, 9)
-    xs = jnp.clip(fx[:, None] + jnp.arange(-2, 7), 0, W - 1)
-    base = (sel[mb_idx].astype(jnp.int32) * (H * W))[:, None, None]
-    idx = base + ys[:, :, None] * W + xs[:, None, :]
-    patch = jnp.take(refs.reshape(-1), idx.reshape(-1),
-                     mode="clip").reshape(n, 9, 9).astype(jnp.int32)
-    tx = taps[phx]
-    h = sum(patch[:, :, k:k + 4] * tx[:, None, k:k + 1] for k in range(6))
+    patch = _tile_take_patch(refs_pad, sel[mb_idx].astype(jnp.int32),
+                             fy + (py0 - 2), fx + (px0 - 2), 9, 9) \
+        .astype(jnp.int32)
+    tx = _taps_select(phx)
+    h = sum(patch[:, :, k:k + 4] * tx[:, k, None, None] for k in range(6))
     h = jnp.clip((h + 64) >> 7, 0, 255)
-    ty = taps[phy]
-    blocks = sum(h[:, k:k + 4, :] * ty[:, k:k + 1, None] for k in range(6))
+    ty = _taps_select(phy)
+    blocks = sum(h[:, k:k + 4, :] * ty[:, k, None, None] for k in range(6))
     blocks = jnp.clip((blocks + 64) >> 7, 0, 255)
     return blocks.reshape(H // 4, nbx, 4, 4).swapaxes(1, 2).reshape(H, W)
 
@@ -361,6 +405,12 @@ def _mb_blocks_chroma(plane, mbw, mbh):
 def _chroma_from_mb_blocks(blocks, mbw, mbh):
     b = blocks.reshape(mbh, mbw, 2, 2, 4, 4).transpose(0, 2, 4, 1, 3, 5)
     return b.reshape(mbh * 8, mbw * 8)
+
+
+def _blocks8_to_plane(blocks, nby, nbx):
+    """(n, 8, 8) -> (H, W) raster plane."""
+    return blocks.reshape(nby, nbx, 8, 8).transpose(0, 2, 1, 3) \
+        .reshape(nby * 8, nbx * 8)
 
 
 def transform_mb_luma(res_blocks, parts, y_dc_q, y_ac_q, y2_dc_q, y2_ac_q):
@@ -435,37 +485,27 @@ def _cachehook_build_inter_kernel(wrk_w: int, wrk_h: int, ssim_enabled: bool = T
     whole per-frame pixel path is one device call."""
     mbw, mbh = wrk_w // 16, wrk_h // 16
     mbc = mbw * mbh
-
-    # per-4x4-block -> (mb, quarter) maps (static)
-    def lmap():
-        nbx = wrk_w // 4
-        bx = np.tile(np.arange(nbx), wrk_h // 4)
-        by = np.repeat(np.arange(wrk_h // 4), nbx)
-        return ((by // 4) * mbw + bx // 4,
-                ((by % 4) // 2) * 2 + (bx % 4) // 2)
+    nby, nbx = wrk_h // 8, wrk_w // 8
 
     def cmap():
-        nbx = wrk_w // 8 // 4 * 4
-        nbx = wrk_w // 8
-        bx = np.tile(np.arange(nbx), wrk_h // 8)
-        by = np.repeat(np.arange(wrk_h // 8), nbx)
+        nbxc = wrk_w // 8
+        bx = np.tile(np.arange(nbxc), wrk_h // 8)
+        by = np.repeat(np.arange(wrk_h // 8), nbxc)
         return ((by // 2) * mbw + bx // 2, (by % 2) * 2 + bx % 2)
 
-    lmb, lq = (np.asarray(a) for a in lmap())
     cmb, cq = (np.asarray(a) for a in cmap())
 
     def kernel(y, u, v, refs_y, refs_u, refs_v, ref_valid,
                seg_y_dc, seg_y_ac, seg_y2_dc, seg_y2_ac, seg_uv_dc, seg_uv_ac,
                ssim_target, taps):
         """refs_*: (3, H, W); ref_valid: (3,) bool; seg_*: (4,) int32."""
-        # pyramids
+        del taps  # taps are compile-time constants now
         cur_pyr = [y]
-        ref_pyr = [refs_y]
         for _ in range(4):
             cur_pyr.append(downsample2(cur_pyr[-1]))
-            ref_pyr.append(downsample2(ref_pyr[-1]))
+        ref_pyr = build_ref_pyramid(refs_y, wrk_h, wrk_w)
 
-        vecs, diffs = hierarchical_search(cur_pyr, ref_pyr, taps)
+        vecs, diffs, best_pred = hierarchical_search(cur_pyr, ref_pyr)
 
         # reference selection (LAST <= ALTREF <= GOLDEN on ties)
         def mb_sum(d):
@@ -486,13 +526,22 @@ def _cachehook_build_inter_kernel(wrk_w: int, wrk_h: int, ssim_enabled: bool = T
         same = jnp.all(mvs == mvs[:, :1, :], axis=(1, 2))
         parts = jnp.where(same, ARE16X16, ARE8X8).astype(jnp.int32)
 
-        # MC prediction straight from the selected reference
-        pred_y = mc_predict_selected(refs_y, mvs, ref_sel, lmb, lq, 4,
-                                     wrk_h, wrk_w, taps)
-        pred_u = mc_predict_selected(refs_u, mvs, ref_sel, cmb, cq, 8,
-                                     wrk_h // 2, wrk_w // 2, taps)
-        pred_v = mc_predict_selected(refs_v, mvs, ref_sel, cmb, cq, 8,
-                                     wrk_h // 2, wrk_w // 2, taps)
+        # luma prediction: the qpel winner's interpolated blocks, selected ref
+        sel_blocks = jnp.broadcast_to(
+            ref_sel.reshape(mbh, mbw)[:, None, :, None], (mbh, 2, mbw, 2)) \
+            .reshape(nby * nbx)
+        pred_b = best_pred[0]
+        pred_b = jnp.where((sel_blocks == 1)[:, None, None], best_pred[1], pred_b)
+        pred_b = jnp.where((sel_blocks == 2)[:, None, None], best_pred[2], pred_b)
+        pred_y = _blocks8_to_plane(pred_b, nby, nbx)
+
+        refs_u_pad = _pad_tiles(refs_u, PAD_C_FULL, PAD_C_FULL)
+        refs_v_pad = _pad_tiles(refs_v, PAD_C_FULL, PAD_C_FULL)
+        cpads = (PAD_C_FULL, PAD_C_FULL)
+        pred_u = mc_predict_selected(refs_u_pad, cpads, mvs, ref_sel, cmb, cq,
+                                     8, wrk_h // 2, wrk_w // 2)
+        pred_v = mc_predict_selected(refs_v_pad, cpads, mvs, ref_sel, cmb, cq,
+                                     8, wrk_h // 2, wrk_w // 2)
 
         res_y = _mb_blocks_luma(y.astype(jnp.int32) - pred_y, mbw, mbh)
         res_u = _mb_blocks_chroma(u.astype(jnp.int32) - pred_u, mbw, mbh)

@@ -68,8 +68,7 @@ def build_multichip_step(mesh: Mesh, wrk_w: int, wrk_h: int):
         out = jax.vmap(per_frame, in_axes=(0, 0, 0, 0, 0, 0, 0, None, None))(
             yf, uf, vf, ryf, ruf, rvf,
             jnp.broadcast_to(ref_valid, (yf.shape[0], 3)), q, ssim_t)
-        levels_y, levels_y2, levels_u, levels_v, seg_ids, cur_ssim, mvs, \
-            parts, ref_sel, recon_y, recon_u, recon_v = out
+        levels_pack, meta, cur_ssim, recon_y, recon_u, recon_v = out
 
         # tile shard of the recon planes stays resident on this chip
         ti = jax.lax.axis_index("tile")
@@ -79,21 +78,17 @@ def build_multichip_step(mesh: Mesh, wrk_w: int, wrk_h: int):
         recon_u_l = jax.lax.dynamic_slice_in_dim(recon_u, ti * rows_c, rows_c, 1)
         recon_v_l = jax.lax.dynamic_slice_in_dim(recon_v, ti * rows_c, rows_c, 1)
 
-        return (levels_y, levels_y2, levels_u, levels_v, seg_ids, cur_ssim,
-                mvs, parts, ref_sel, recon_y_l, recon_u_l, recon_v_l,
+        return (levels_pack, meta, cur_ssim, recon_y_l, recon_u_l, recon_v_l,
                 udiff, vdiff, ysum)
 
     g = P("gop", "tile", None)
     g3 = P("gop", None, "tile", None)
     rep = P()
-    out_rep = P("gop", None, None)          # per-MB tensors: gop only
     step = shard_map(
         local_step, mesh=mesh,
         in_specs=(g, g, g, g3, g3, g3, P("gop", None), rep, rep, g, g),
-        out_specs=(out_rep, out_rep, P("gop", None, None, None),
-                   P("gop", None, None, None), P("gop", None),
-                   P("gop", None), P("gop", None, None, None),
-                   P("gop", None), P("gop", None),
+        out_specs=(P("gop", None, None, None), P("gop", None, None),
+                   P("gop", None),
                    g, g, g, P("gop"), P("gop"), P("gop")),
         check_vma=False)
     return jax.jit(step)
