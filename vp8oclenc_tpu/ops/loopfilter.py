@@ -7,10 +7,11 @@ have disjoint read/write windows).  This is the same dependency schedule as
 the reference's GPU wavefront filter (/root/reference/src/loop_filter.h:69-135,
 bin/GPU_kernels.cl:1812-2089) but whole-MB per stage.
 
-Each stage gathers per-MB windows (20x20 luma / 12x12 chroma, 4-px top-left
-halo), applies the 8 (4 chroma) edge filters sequentially inside the window
-with lane vectorization, and scatters back.  Bit-identical to the sequential
-spec oracle.
+The planes are *sheared* (band b shifted right by two MB widths per band)
+so all MBs of a stage share one column range: each stage is a static-size
+dynamic slice + the 8 (4 chroma) edge filters vectorized over the band lanes
++ a dynamic update — no arbitrary gathers/scatters anywhere.  Bit-identical
+to the sequential spec oracle.
 """
 from __future__ import annotations
 
@@ -66,86 +67,110 @@ def _filter_window(win, mb_lim, b_lim, int_lim, hev_thr, has_left, has_top,
     return win
 
 
-def _plane_pass(plane, diag_by, diag_bx, seg_of_mb, levels, mbe, sbe, intr,
-                hev, inner_mask, mb_size: int, mbw: int, mbh: int):
-    """Run the wavefront over one plane (levels etc: (4,) segment tables)."""
-    S = mb_size + 4
-    H = mbh * mb_size
-    W = mbw * mb_size
-    # pad: 4 left/top halo; right needs none; bottom: scratch for idle lanes
-    pad = jnp.pad(plane.astype(jnp.int32), ((4, S), (4, 0)),
-                  constant_values=128) - 128
+def _shear(plane, msize: int, mbw: int, mbh: int, totc: int):
+    """(mbh*msize, mbw*msize) u8 -> (mbh, msize, totc) int32 in the -128..127
+    domain, band b shifted right by 4 + 2*msize*b.  In sheared coordinates
+    every MB of wavefront stage d = mbx + 2*mby sits at the SAME column
+    4 + msize*d, so each stage is one static-size dynamic slice instead of
+    an arbitrary (slow) gather/scatter."""
+    shift = 2 * msize
+    lp = shift + 4          # left margin: stage-0 top-halo slice must not
+    w = mbw * msize         # clamp into the own-window region
+    bands = plane.reshape(mbh, msize, w).astype(jnp.int32) - 128
+    rows = []
+    for b in range(mbh):
+        l = lp + shift * b
+        rows.append(jnp.pad(bands[b], ((0, 0), (l, totc - w - l))))
+    return jnp.stack(rows)
 
-    def step(d, p):
-        mby = diag_by[d]
-        mbx = diag_bx[d]
-        valid = mby >= 0
-        byc = jnp.maximum(mby, 0)
-        bxc = jnp.maximum(mbx, 0)
-        mbn = byc * mbw + bxc
-        sid = seg_of_mb[mbn]
-        lvl = levels[sid]
-        active = valid & (lvl > 0)
-        r0 = jnp.where(valid, byc * mb_size, H + 4)   # scratch rows when idle
-        c0 = bxc * mb_size
-        rows = r0[:, None] + jnp.arange(S)[None, :]
-        cols = c0[:, None] + jnp.arange(S)[None, :]
-        win = p[rows[:, :, None], cols[:, None, :]]
-        win = _filter_window(
-            win, mbe[sid][:, None], sbe[sid][:, None], intr[sid][:, None],
-            hev[sid][:, None], bxc > 0, byc > 0, inner_mask[mbn], active,
-            mb_size)
-        return p.at[rows[:, :, None], cols[:, None, :]].set(win)
 
-    pad = jax.lax.fori_loop(0, diag_by.shape[0], step, pad)
-    return jnp.clip(pad[4:4 + H, 4:4 + W] + 128, 0, 255).astype(jnp.uint8)
+def _unshear(S, msize: int, mbw: int, mbh: int):
+    shift = 2 * msize
+    lp = shift + 4
+    w = mbw * msize
+    outs = [S[b, :, lp + shift * b: lp + shift * b + w] for b in range(mbh)]
+    x = jnp.stack(outs).reshape(mbh * msize, w)
+    return jnp.clip(x + 128, 0, 255).astype(jnp.uint8)
 
 
 def filter_planes(ry, ru, rv, seg_of_mb, inner_mask, levels, mbe, sbe, intr,
-                  hev, dby, dbx, mbw: int, mbh: int):
-    """Traceable whole-frame filter (reused inside the fused pixel kernels)."""
-    ry = _plane_pass(ry, dby, dbx, seg_of_mb, levels, mbe, sbe, intr, hev,
-                     inner_mask, 16, mbw, mbh)
-    ru = _plane_pass(ru, dby, dbx, seg_of_mb, levels, mbe, sbe, intr, hev,
-                     inner_mask, 8, mbw, mbh)
-    rv = _plane_pass(rv, dby, dbx, seg_of_mb, levels, mbe, sbe, intr, hev,
-                     inner_mask, 8, mbw, mbh)
-    return ry, ru, rv
+                  hev, mbw: int, mbh: int):
+    """Traceable whole-frame filter (reused inside the fused pixel kernels).
+
+    Wavefront over anti-diagonals d = mbx + 2*mby (the reference GPU filter's
+    schedule, loop_filter.h:69-135) on *sheared* planes: stage d touches one
+    fixed column band, so the whole stage is dynamic slices + vectorized edge
+    filters over the mbh band lanes."""
+    D = (mbw - 1) + 2 * (mbh - 1) + 1
+
+    # per-stage, per-band condition/limit tables (D, mbh), one vector pass
+    d_idx = jnp.arange(D)[:, None]
+    b_idx = jnp.arange(mbh)[None, :]
+    mbx = d_idx - 2 * b_idx
+    act = (mbx >= 0) & (mbx < mbw)
+    mbn = b_idx * mbw + jnp.clip(mbx, 0, mbw - 1)
+    sid = seg_of_mb[mbn]
+    st_active = act & (levels[sid] > 0)
+    st_has_left = mbx > 0
+    st_has_top = jnp.broadcast_to(b_idx > 0, (D, mbh))
+    st_inner = inner_mask[mbn]
+    st_mbe, st_sbe = mbe[sid], sbe[sid]
+    st_int, st_hev = intr[sid], hev[sid]
+
+    totc_y = 36 + 16 * D + 20
+    totc_c = 20 + 8 * D + 12
+    Sy = _shear(ry, 16, mbw, mbh, totc_y)
+    Su = _shear(ru, 8, mbw, mbh, totc_c)
+    Sv = _shear(rv, 8, mbw, mbh, totc_c)
+
+    def step(d, st):
+        Sy, Su, Sv = st
+        row = lambda t: jax.lax.dynamic_slice_in_dim(t, d, 1, 0)[0]
+        active = row(st_active)
+        has_left = row(st_has_left)
+        has_top = row(st_has_top)
+        inner = row(st_inner)
+        l_mbe = row(st_mbe)[:, None]
+        l_sbe = row(st_sbe)[:, None]
+        l_int = row(st_int)[:, None]
+        l_hev = row(st_hev)[:, None]
+
+        def do(S, msize):
+            S5 = msize + 4
+            C = (2 * msize + 4) + msize * d
+            own = jax.lax.dynamic_slice(S, (0, 0, C - 4), (mbh, msize, S5))
+            tops = jax.lax.dynamic_slice(
+                S, (0, msize - 4, C - 4 - 2 * msize), (mbh, 4, S5))
+            top_sh = jnp.concatenate(
+                [jnp.zeros((1, 4, S5), S.dtype), tops[:-1]], axis=0)
+            win = jnp.concatenate([top_sh, own], axis=1)
+            win = _filter_window(win, l_mbe, l_sbe, l_int, l_hev,
+                                 has_left, has_top, inner, active, msize)
+            S = jax.lax.dynamic_update_slice(S, win[:, 4:, :], (0, 0, C - 4))
+            # write filtered top-halo rows back into the band above (its
+            # rows msize-3..msize-1); last band's slot keeps current content
+            keep = jax.lax.dynamic_slice(
+                S, (mbh - 1, msize - 3, C - 4 - 2 * msize), (1, 3, S5))
+            wt = jnp.concatenate([win[1:, 1:4, :], keep], axis=0)
+            return jax.lax.dynamic_update_slice(
+                S, wt, (0, msize - 3, C - 4 - 2 * msize))
+
+        return do(Sy, 16), do(Su, 8), do(Sv, 8)
+
+    Sy, Su, Sv = jax.lax.fori_loop(0, D, step, (Sy, Su, Sv))
+    return (_unshear(Sy, 16, mbw, mbh), _unshear(Su, 8, mbw, mbh),
+            _unshear(Sv, 8, mbw, mbh))
 
 
 @lru_cache(maxsize=8)
 def _cachehook_build_loopfilter_kernel(mbw: int, mbh: int):
-    tables = tuple(jax.device_put(t) for t in _diag_tables(mbw, mbh))
-
     @jax.jit
-    def kernel(ry, ru, rv, seg_of_mb, inner_mask, levels, mbe, sbe, intr, hev,
-               dby, dbx):
+    def kernel(ry, ru, rv, seg_of_mb, inner_mask, levels, mbe, sbe, intr,
+               hev):
         return filter_planes(ry, ru, rv, seg_of_mb, inner_mask, levels, mbe,
-                             sbe, intr, hev, dby, dbx, mbw, mbh)
+                             sbe, intr, hev, mbw, mbh)
 
-    def run(*args):
-        return kernel(*args, *tables)
-
-    return run
-
-
-def _diag_tables(mbw: int, mbh: int):
-    """Anti-diagonal d = mbx + 2*mby tables with -1 sentinels."""
-    D = (mbw - 1) + 2 * (mbh - 1) + 1
-    K = max(1, min(mbh, (mbw + 1) // 2))
-    by = np.full((D, K), -1, dtype=np.int32)
-    bx = np.full((D, K), -1, dtype=np.int32)
-    for d in range(D):
-        k = 0
-        lo = max(0, (d - (mbw - 1) + 1) // 2)
-        hi = min(mbh - 1, d // 2)
-        for yy in range(lo, hi + 1):
-            xx = d - 2 * yy
-            if 0 <= xx < mbw:
-                by[d, k] = yy
-                bx[d, k] = xx
-                k += 1
-    return by, bx
+    return kernel
 
 
 def loop_filter_frame_tpu(ry, ru, rv, segment_ids, inner_mask, seg):
@@ -172,10 +197,8 @@ def _cachehook_build_filter_from_meta_kernel(mbw: int, mbh: int):
     lf: (2, 5, 4) [normal/weakened][level,mbe,sbe,interior,hev] per segment;
     the weakened set is selected on-device when min SSIM > 0.95
     (check_SSIM, /root/reference/src/vp8enc.cpp:260-261)."""
-    tables = tuple(jax.device_put(t) for t in _diag_tables(mbw, mbh))
-
     @jax.jit
-    def kernel(ry, ru, rv, levels_pack, meta, cur_ssim, lf, dby, dbx):
+    def kernel(ry, ru, rv, levels_pack, meta, cur_ssim, lf):
         seg_ids = meta[:, 0]
         parts = meta[:, 1]
         a = jnp.abs(levels_pack.astype(jnp.int32))
@@ -186,12 +209,9 @@ def _cachehook_build_filter_from_meta_kernel(mbw: int, mbh: int):
         lf_use = jnp.where(weaken, lf[1], lf[0])
         return filter_planes(ry, ru, rv, seg_ids, inner,
                              lf_use[0], lf_use[1], lf_use[2], lf_use[3],
-                             lf_use[4], dby, dbx, mbw, mbh)
+                             lf_use[4], mbw, mbh)
 
-    def run(*args):
-        return kernel(*args, *tables)
-
-    return run
+    return kernel
 
 
 def build_loopfilter_kernel(mbw: int, mbh: int):
