@@ -59,3 +59,36 @@ def test_native_matches_numpy(nparts):
         e = BoolEncoder()
         e.put_many(pp, pb)
         assert nb == e.flush()
+
+
+def test_native_mb_headers_match_python(monkeypatch):
+    """The C++ per-MB header coder emits the exact bool stream of the Python
+    writer (same encode_frame_header bytes) on key and inter frames with
+    SPLITMV/NEWMV/segmentation coverage."""
+    from vp8oclenc_tpu.config import EncoderConfig
+    from vp8oclenc_tpu.pipeline.encoder import Encoder
+    from vp8oclenc_tpu.io.y4m import Frame
+    from vp8oclenc_tpu.entropy import header as HDR
+
+    w, h = 96, 80
+    rng = np.random.default_rng(7)
+    base = rng.integers(0, 256, (h * 2, w * 2), dtype=np.uint8)
+    frames = []
+    for t in range(4):
+        y = base[t * 3:t * 3 + h, t * 5:t * 5 + w]
+        frames.append(Frame(y, y[::2, ::2] // 2 + 64, y[1::2, 1::2] // 2 + 60))
+
+    def run(force_python):
+        if force_python:
+            monkeypatch.setattr(HDR, "_native", lambda: None)
+        else:
+            monkeypatch.undo()
+        cfg = EncoderConfig(qi_min=10, qi_max=40, gop_size=100,
+                            altref_range=2)
+        enc = Encoder(cfg, w, h, backend="spec")
+        return [enc.encode_frame(f) for f in frames]
+
+    a = run(False)
+    b = run(True)
+    for i, (x, y_) in enumerate(zip(a, b)):
+        assert x == y_, f"frame {i}: native vs python header bytes differ"

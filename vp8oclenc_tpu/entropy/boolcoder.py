@@ -82,6 +82,57 @@ class BoolEncoder:
         return bytes(self.buf)
 
 
+class BoolRecorder:
+    """Records a (prob, bit) stream instead of encoding it.
+
+    Same put/put_flag/put_literal surface as BoolEncoder, so header writers
+    are agnostic; the collected arrays are packed once by pack_bools (native
+    C++ when available).  put_arrays appends pre-vectorized streams (e.g. the
+    native per-MB header coder's output) without Python-loop cost.
+    """
+
+    __slots__ = ("_p", "_b", "_chunks")
+
+    def __init__(self) -> None:
+        self._p = []
+        self._b = []
+        self._chunks = []
+
+    def put(self, prob: int, bit: int) -> None:
+        self._p.append(prob)
+        self._b.append(1 if bit else 0)
+
+    def put_flag(self, bit: int) -> None:
+        self.put(128, 1 if bit else 0)
+
+    def put_literal(self, value: int, size: int) -> None:
+        for s in range(size - 1, -1, -1):
+            self.put_flag((value >> s) & 1)
+
+    def put_arrays(self, probs, bits) -> None:
+        self._flush_scalars()
+        self._chunks.append((np.asarray(probs, dtype=np.uint8).reshape(-1),
+                             np.asarray(bits, dtype=np.uint8).reshape(-1)))
+
+    def _flush_scalars(self) -> None:
+        if self._p:
+            self._chunks.append((np.array(self._p, dtype=np.uint8),
+                                 np.array(self._b, dtype=np.uint8)))
+            self._p = []
+            self._b = []
+
+    def arrays(self):
+        self._flush_scalars()
+        if not self._chunks:
+            z = np.zeros(0, dtype=np.uint8)
+            return z, z
+        return (np.concatenate([c[0] for c in self._chunks]),
+                np.concatenate([c[1] for c in self._chunks]))
+
+    def pack(self) -> bytes:
+        return pack_bools(*self.arrays())
+
+
 def pack_bools(probs: np.ndarray, bits: np.ndarray) -> bytes:
     """Pack a (prob, bit) stream into a flushed VP8 bool partition.
 

@@ -13,10 +13,18 @@ from __future__ import annotations
 import numpy as np
 
 from vp8oclenc_tpu import tables as TBL
-from vp8oclenc_tpu.entropy.boolcoder import BoolEncoder
+from vp8oclenc_tpu.entropy.boolcoder import BoolEncoder, BoolRecorder
 from vp8oclenc_tpu.entropy import mv as MV
 from vp8oclenc_tpu.tables import (ARE8X8, ARE16X16, ALTREF, B_DC_PRED,
                                   GOLDEN, LAST)
+
+
+def _native():
+    try:
+        from vp8oclenc_tpu.native import packer
+        return packer if packer.available() else None
+    except Exception:
+        return None
 
 
 def _write_tree(enc: BoolEncoder, probs, tree, bits: int, size: int) -> None:
@@ -58,7 +66,8 @@ def encode_frame_header(fd, seg, cfg, width: int, height: int) -> bytes:
     """
     mbw, mbh = fd.mbw, fd.mbh
     mbc = mbw * mbh
-    enc = BoolEncoder()
+    native = _native()
+    enc = BoolRecorder()
 
     if fd.is_key:
         enc.put_flag(0)   # color space
@@ -165,8 +174,12 @@ def encode_frame_header(fd, seg, cfg, width: int, height: int) -> bytes:
 
         # MV prob adaptation: census + count pass over all NEW-MV deltas
         census = MV.find_near_mvs(fd.mvs[:, 3, :], fd.is_inter, fd.parts, mbw, mbh)
-        deltas = _collect_new_mv_deltas(fd, census)
-        num, den = MV.count_mv_components(deltas)
+        if native is not None:
+            num, den = native.mb_headers(0, fd, None, 0, 0, 0, 0, census,
+                                         None, ymode_probs, uvmode_probs)
+        else:
+            deltas = _collect_new_mv_deltas(fd, census)
+            num, den = MV.count_mv_components(deltas)
         new_mv_probs = MV.adapt_mv_probs(num, den)
         for i in range(2):
             for j in range(19):
@@ -174,10 +187,17 @@ def encode_frame_header(fd, seg, cfg, width: int, height: int) -> bytes:
                 enc.put_literal(int(new_mv_probs[i, j]) >> 1, 7)
 
     # ---- per-MB headers ----
-    _encode_mb_headers(enc, fd, seg_probs, prob_intra, prob_last, prob_gf,
-                       ymode_probs, uvmode_probs, census, new_mv_probs)
+    if native is not None:
+        mb_p, mb_b = native.mb_headers(
+            1, fd, seg_probs, int(fd.skip_prob),
+            prob_intra, prob_last, prob_gf, census, new_mv_probs,
+            ymode_probs, uvmode_probs)
+        enc.put_arrays(mb_p, mb_b)
+    else:
+        _encode_mb_headers(enc, fd, seg_probs, prob_intra, prob_last, prob_gf,
+                           ymode_probs, uvmode_probs, census, new_mv_probs)
 
-    body = enc.flush()
+    body = enc.pack()
 
     # uncompressed frame tag
     first_part_size = len(body)

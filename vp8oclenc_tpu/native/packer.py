@@ -15,6 +15,7 @@ import numpy as np
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, "packer.cpp")
 _SRC2 = os.path.join(_HERE, "tokenizer.cpp")
+_SRC3 = os.path.join(_HERE, "headers.cpp")
 _SO = os.path.join(_HERE, "_packer.so")
 
 _lib = None
@@ -23,13 +24,15 @@ _tried = False
 
 def _build() -> bool:
     try:
-        src_mtime = max(os.path.getmtime(_SRC), os.path.getmtime(_SRC2))
+        src_mtime = max(os.path.getmtime(_SRC), os.path.getmtime(_SRC2),
+                        os.path.getmtime(_SRC3))
         if os.path.exists(_SO) and os.path.getmtime(_SO) >= src_mtime:
             return True
         with tempfile.TemporaryDirectory() as td:
             tmp = os.path.join(td, "_packer.so")
             subprocess.run(
-                ["g++", "-O3", "-shared", "-fPIC", "-o", tmp, _SRC, _SRC2],
+                ["g++", "-O3", "-shared", "-fPIC", "-o", tmp, _SRC, _SRC2,
+                 _SRC3],
                 check=True, capture_output=True)
             os.replace(tmp, _SO)
         return True
@@ -58,6 +61,11 @@ def _load():
                                     ctypes.c_void_p, ctypes.c_void_p,
                                     ctypes.c_void_p, ctypes.c_void_p,
                                     ctypes.c_void_p]
+    lib.vp8_mb_headers.restype = ctypes.c_int64
+    lib.vp8_mb_headers.argtypes = [ctypes.c_int] * 4 + \
+        [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int] + \
+        [ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p] + \
+        [ctypes.c_int] * 3 + [ctypes.c_void_p] * 15
     _lib = lib
     return _lib
 
@@ -98,6 +106,66 @@ def pack_tokens(records: np.ndarray, probs: np.ndarray) -> bytes:
                              lens.ctypes.data, pcat.ctypes.data,
                              nbits.ctypes.data, out.ctypes.data)
     return out[:ln].tobytes()
+
+
+def mb_headers(phase: int, fd, seg_probs, skip_prob: int,
+               prob_intra: int, prob_last: int, prob_gf: int,
+               census, new_mv_probs, ymode_probs, uvmode_probs):
+    """Native per-MB header bool emission / NEW-MV statistics.
+
+    phase 0: returns (num, den) (2,19) int64 MV-component counts.
+    phase 1: returns (probs, bits) uint8 arrays of the emitted bool stream.
+    """
+    from vp8oclenc_tpu import tables as TBL
+
+    lib = _load()
+    mbc = fd.mbw * fd.mbh
+    c = lambda a, dt: np.ascontiguousarray(a, dtype=dt)
+    ptr = lambda a: a.ctypes.data if a is not None else None
+
+    seg_ids = c(fd.segment_ids, np.int32)
+    has_seg = seg_probs is not None
+    segp = c(seg_probs, np.uint8) if has_seg else None
+    skip = c(fd.skip, np.uint8)
+    is_inter = c(fd.is_inter, np.uint8)
+    ref = c(fd.ref_frame, np.int32)
+    parts = c(fd.parts, np.int32)
+    mvs = c(fd.mvs, np.int16)
+    modes = c(fd.modes, np.int32)
+    if census is not None:
+        mode_probs = c(census["mode_probs"], np.uint8)
+        nearest = c(census["nearest_raw"], np.int64)
+        near = c(census["near_raw"], np.int64)
+        best = c(census["best"], np.int32)
+    else:
+        mode_probs = np.zeros((mbc, 4), dtype=np.uint8)
+        nearest = np.zeros(mbc, dtype=np.int64)
+        near = np.zeros(mbc, dtype=np.int64)
+        best = np.zeros((mbc, 2), dtype=np.int32)
+    nmp = c(new_mv_probs if new_mv_probs is not None
+            else TBL.DEFAULT_MV_CONTEXT, np.uint8)
+    kfb = c(TBL.KF_BMODE_PROB, np.uint8)
+    ymp = c(ymode_probs, np.uint8)
+    uvp = c(uvmode_probs, np.uint8)
+    if phase == 1:
+        out_p = np.empty(mbc * 192, dtype=np.uint8)
+        out_b = np.empty(mbc * 192, dtype=np.uint8)
+    else:
+        out_p = out_b = np.empty(0, dtype=np.uint8)
+    num = np.zeros((2, 19), dtype=np.int64)
+    den = np.ones((2, 19), dtype=np.int64)
+    n = lib.vp8_mb_headers(
+        phase, fd.mbw, fd.mbh, int(fd.is_key),
+        ptr(seg_ids), ptr(segp), int(has_seg),
+        ptr(skip), int(skip_prob),
+        ptr(is_inter), ptr(ref),
+        int(prob_intra or 0), int(prob_last or 0), int(prob_gf or 0),
+        ptr(parts), ptr(mvs), ptr(modes), ptr(mode_probs),
+        ptr(nearest), ptr(near), ptr(best), ptr(nmp), ptr(kfb),
+        ptr(ymp), ptr(uvp), ptr(out_p), ptr(out_b), ptr(num), ptr(den))
+    if phase == 1:
+        return out_p[:n], out_b[:n]
+    return num, den
 
 
 def tokenize_frame(levels: np.ndarray, parts: np.ndarray, mbw: int, mbh: int,
