@@ -88,7 +88,9 @@ class TPUBackend:
             # host reads levels/meta while it runs
             from vp8oclenc_tpu.ops.loopfilter import build_filter_from_meta_kernel
             from vp8oclenc_tpu.pipeline.segments import prepare_segments
-            weak = prepare_segments(cfg, y, False, is_altref, weaken_filter=True)
+            weak = prepare_segments(cfg, y, False, is_altref,
+                                    weaken_filter=True,
+                                    strength=seg.raw_strength)
             lf = np.stack([
                 np.stack([s_.loop_filter_level, s_.mbedge_limit,
                           s_.sub_bedge_limit, s_.interior_limit,
@@ -101,10 +103,12 @@ class TPUBackend:
             self.filtered = True
 
         if not ssim_on:
-            # start the D2H copies now; materialize lazily (finalize_framedata)
+            # serialize all host-bound data into one buffer, start the D2H
+            # copy now, materialize lazily (finalize_framedata)
+            from vp8oclenc_tpu.ops.wire import build_wire_kernel
+            wire = build_wire_kernel(mbc)(levels_pack, meta, cur_ssim)
             try:
-                levels_pack.copy_to_host_async()
-                meta.copy_to_host_async()
+                wire.copy_to_host_async()
             except AttributeError:
                 pass
             fd = FrameData(
@@ -113,7 +117,7 @@ class TPUBackend:
                 modes=np.zeros((mbc, 16), dtype=np.int8),
                 is_inter=np.ones(mbc, dtype=bool), ref_frame=None, mvs=None,
                 replaced=0)
-            fd.device_outputs = (levels_pack, meta, cur_ssim)
+            fd.device_outputs = (wire, levels_pack)
             fd.weak_seg = weak
             enc.recon = PendingRecon(self)
             return fd
@@ -142,7 +146,9 @@ class TPUBackend:
                                 jnp.asarray(recon_v))
         if float(cur_ssim.min()) > 0.95:
             from vp8oclenc_tpu.pipeline.segments import prepare_segments
-            seg2 = prepare_segments(cfg, y, False, is_altref, weaken_filter=True)
+            seg2 = prepare_segments(cfg, y, False, is_altref,
+                                    weaken_filter=True,
+                                    strength=seg.raw_strength)
             seg.__dict__.update(seg2.__dict__)
         if 0.0 < ssim_target:
             avg = float(cur_ssim.mean())
@@ -164,18 +170,21 @@ class TPUBackend:
         """Materialize a lazily-returned inter FrameData (fused path)."""
         if getattr(fd, "device_outputs", None) is None:
             return
-        levels_pack, meta, cur_ssim = fd.device_outputs
+        from vp8oclenc_tpu.ops.wire import unpack_wire
+        wire, levels_pack = fd.device_outputs
         fd.device_outputs = None
         mbc = self.mbc
-        levels = np.asarray(levels_pack)
-        meta = np.asarray(meta)
-        cur_ssim = np.asarray(cur_ssim).astype(np.float64)
-        fd.levels = levels.astype(np.int16)
-        fd.segment_ids = meta[:, 0].copy()
-        fd.parts = meta[:, 1].copy()
+        levels, segi, parts, ref, mvs, ovf, cur_ssim = unpack_wire(
+            np.asarray(wire), mbc)
+        if ovf.any():
+            # >16 escape coefficients in one MB: take the full int16 levels
+            levels = np.asarray(levels_pack).astype(np.int16)
+        fd.levels = levels
+        fd.segment_ids = segi
+        fd.parts = parts
         ref_map = np.array([LAST, GOLDEN, ALTREF])
-        fd.ref_frame = ref_map[meta[:, 2]].astype(np.int32)
-        fd.mvs = meta[:, 3:11].reshape(mbc, 4, 2).astype(np.int16)
+        fd.ref_frame = ref_map[ref].astype(np.int32)
+        fd.mvs = mvs
         # header bookkeeping for the weaken-filter rule (the device already
         # selected the weakened limits; mirror it for the written header)
         if float(cur_ssim.min()) > 0.95 and getattr(fd, "weak_seg", None):

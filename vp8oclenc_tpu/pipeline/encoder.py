@@ -256,7 +256,8 @@ class Encoder:
             fd = self._encode_inter(y, u, v, seg, is_golden, is_altref)
             if fd is None:   # redo as key (bad inter result)
                 is_key = is_golden = is_altref = True
-                seg = prepare_segments(self.cfg, y, True, is_altref)
+                seg = prepare_segments(self.cfg, y, True, is_altref,
+                                       strength=seg.raw_strength)
                 fd = self._encode_key(y, u, v, seg)
 
         self._loop_filter(fd, seg)

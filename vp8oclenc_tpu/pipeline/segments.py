@@ -38,6 +38,8 @@ class SegmentData:
     mbedge_limit: np.ndarray = field(default=None)
     sub_bedge_limit: np.ndarray = field(default=None)
     hev_threshold: np.ndarray = field(default=None)
+    # raw (pre-weaken) frame strength, reusable by same-frame re-derivations
+    raw_strength: tuple = field(default=None)
 
 
 def _clamp_qi(qi):
@@ -80,9 +82,9 @@ def derive_filter_limits(level: np.ndarray, sharpness: int, is_key: bool):
 def loopfilter_strength(current_y: np.ndarray):
     """(reductor, sharpness) from frame brightness average and local variance
     (reference get_loopfilter_strength, vp8enc.cpp:96-127)."""
-    y = current_y.astype(np.int64)
+    y = current_y.astype(np.int32)
     n = y.size
-    avg = int((y.sum() + n // 2) // n)
+    avg = int((int(y.sum(dtype=np.int64)) + n // 2) // n)
     reductor = (avg * 5 // 255) + 3
 
     # 8-neighborhood mean at interior pixels, C-style truncating /8 on a
@@ -91,17 +93,23 @@ def loopfilter_strength(current_y: np.ndarray):
          y[1:-1, :-2] + y[1:-1, 2:] +
          y[2:, :-2] + y[2:, 1:-1] + y[2:, 2:]) // 8
     d = y[1:-1, 1:-1] - s
+    d *= d
     h, w = y.shape
     denom = (h - 1) * (w - 1)
-    div = int(((d * d).sum() + denom // 2) // denom)
+    div = int((int(d.sum(dtype=np.int64)) + denom // 2) // denom)
     sharpness = min(div // 8, 7)
     return reductor, sharpness
 
 
 def prepare_segments(cfg: EncoderConfig, current_y: np.ndarray, is_key: bool,
-                     is_altref: bool, weaken_filter: bool = False) -> SegmentData:
+                     is_altref: bool, weaken_filter: bool = False,
+                     strength: tuple = None) -> SegmentData:
     """Build the per-frame 4-segment quantizer/filter state
-    (reference prepare_segments_data, vp8enc.cpp:129-229)."""
+    (reference prepare_segments_data, vp8enc.cpp:129-229).
+
+    strength: optional (reductor, sharpness) computed earlier for the same
+    frame (loopfilter_strength is two full-frame passes; re-derivations for
+    weaken/redo reuse it via SegmentData.raw_strength)."""
     y_dc_idelta = 15
     y2_dc_idelta = 0
     y2_ac_idelta = 0
@@ -115,7 +123,9 @@ def prepare_segments(cfg: EncoderConfig, current_y: np.ndarray, is_key: bool,
     else:
         y_ac_i = np.asarray(cfg.lastqi, dtype=np.int32)
 
-    reductor, sharpness = loopfilter_strength(current_y)
+    reductor, sharpness = strength if strength is not None \
+        else loopfilter_strength(current_y)
+    raw = (reductor, sharpness)
     if weaken_filter:
         # reference check_SSIM: min SSIM > 0.95 -> halve the level, sharpness 7
         reductor *= 2
@@ -135,4 +145,4 @@ def prepare_segments(cfg: EncoderConfig, current_y: np.ndarray, is_key: bool,
         y_dc_q=y_dc_q, y_ac_q=y_ac_q, y2_dc_q=y2_dc_q, y2_ac_q=y2_ac_q,
         uv_dc_q=uv_dc_q, uv_ac_q=uv_ac_q,
         interior_limit=interior, mbedge_limit=mbedge,
-        sub_bedge_limit=sub_bedge, hev_threshold=hev)
+        sub_bedge_limit=sub_bedge, hev_threshold=hev, raw_strength=raw)

@@ -279,7 +279,8 @@ def encode_inter_frame(enc, y, u, v, seg: SegmentData, is_golden: bool,
     # vp8enc.cpp:260-261) — runs regardless of the SSIM target
     if float(cur_ssim.min()) > 0.95:
         from vp8oclenc_tpu.pipeline.segments import prepare_segments
-        seg2 = prepare_segments(cfg, y, False, is_altref, weaken_filter=True)
+        seg2 = prepare_segments(cfg, y, False, is_altref, weaken_filter=True,
+                                strength=seg.raw_strength)
         seg.__dict__.update(seg2.__dict__)
     if 0.0 < ssim_target:
         avg = float(cur_ssim.mean())
