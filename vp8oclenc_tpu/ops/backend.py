@@ -30,6 +30,18 @@ class TPUBackend:
         self.golden = None
         self.altref = None
         self.filtered = False          # pixel kernel already ran the filter
+        # per-ref search state (padded 5-level pyramid + padded chroma),
+        # built once per new reference and reused across frames
+        self.last_state = None
+        self.golden_state = None
+        self.altref_state = None
+
+    def _set_last(self, recon) -> None:
+        from vp8oclenc_tpu.ops.inter import build_ref_state_kernel
+        self.last = recon
+        pyr, u_pad, v_pad = build_ref_state_kernel(
+            self.wrk_w, self.wrk_h)(*recon)
+        self.last_state = (pyr, u_pad, v_pad)
 
     # -------------------------------------------------- intra
     def encode_intra_frame(self, y, u, v, seg):
@@ -61,18 +73,19 @@ class TPUBackend:
         use_altref = (not enc.prev_is_altref) and \
             (enc.altref_frame_number != enc.golden_frame_number)
 
-        g = self.golden if (use_golden and self.golden is not None) else self.last
-        a = self.altref if (use_altref and self.altref is not None) else self.last
-        refs_y = jnp.stack([self.last[0], g[0], a[0]])
-        refs_u = jnp.stack([self.last[1], g[1], a[1]])
-        refs_v = jnp.stack([self.last[2], g[2], a[2]])
+        ls = self.last_state
+        gs = self.golden_state \
+            if (use_golden and self.golden_state is not None) else ls
+        als = self.altref_state \
+            if (use_altref and self.altref_state is not None) else ls
         ref_valid = np.array([True, use_golden, use_altref])
 
         ssim_on = cfg.ssim_target > 0.0
         kern = build_inter_kernel(self.wrk_w, self.wrk_h, ssim_enabled=ssim_on)
-        levels_pack, meta, cur_ssim, ry, ru, rv = kern(
+        levels_pack, meta, cur_ssim, ry, ru, rv = kern.pyr(
             jnp.asarray(y), jnp.asarray(u), jnp.asarray(v),
-            refs_y, refs_u, refs_v, jnp.asarray(ref_valid),
+            (ls[0], gs[0], als[0]), (ls[1], gs[1], als[1]),
+            (ls[2], gs[2], als[2]), jnp.asarray(ref_valid),
             jnp.asarray(seg.y_dc_q.astype(np.int32)),
             jnp.asarray(seg.y_ac_q.astype(np.int32)),
             jnp.asarray(seg.y2_dc_q.astype(np.int32)),
@@ -97,8 +110,8 @@ class TPUBackend:
                           s_.hev_threshold]) for s_ in (seg, weak)
             ]).astype(np.int32)
             fkern = build_filter_from_meta_kernel(self.mbw, self.mbh)
-            self.last = fkern(ry, ru, rv, levels_pack, meta, cur_ssim,
-                              jnp.asarray(lf))
+            self._set_last(fkern(ry, ru, rv, levels_pack, meta, cur_ssim,
+                                 jnp.asarray(lf)))
             self.pending = None
             self.filtered = True
 
@@ -203,14 +216,16 @@ class TPUBackend:
             jnp.asarray(np.asarray(seg.sub_bedge_limit, dtype=np.int32)),
             jnp.asarray(np.asarray(seg.interior_limit, dtype=np.int32)),
             jnp.asarray(np.asarray(seg.hev_threshold, dtype=np.int32)))
-        self.last = (ry, ru, rv)
+        self._set_last((ry, ru, rv))
         self.pending = None
 
     def promote_refs(self, is_golden: bool, is_altref: bool) -> None:
         if is_golden:
             self.golden = self.last
+            self.golden_state = self.last_state
         if is_altref:
             self.altref = self.last
+            self.altref_state = self.last_state
 
     def materialize_last(self):
         return tuple(np.asarray(p) for p in self.last)

@@ -495,15 +495,14 @@ def _cachehook_build_inter_kernel(wrk_w: int, wrk_h: int, ssim_enabled: bool = T
 
     cmb, cq = (np.asarray(a) for a in cmap())
 
-    def kernel(y, u, v, refs_y, refs_u, refs_v, ref_valid,
-               seg_y_dc, seg_y_ac, seg_y2_dc, seg_y2_ac, seg_uv_dc, seg_uv_ac,
-               ssim_target, taps):
-        """refs_*: (3, H, W); ref_valid: (3,) bool; seg_*: (4,) int32."""
-        del taps  # taps are compile-time constants now
+    def body(y, u, v, ref_pyr, refs_u_pad, refs_v_pad, ref_valid,
+             seg_y_dc, seg_y_ac, seg_y2_dc, seg_y2_ac, seg_uv_dc, seg_uv_ac,
+             ssim_target):
+        """ref_pyr: build_ref_pyramid-format list; refs_*_pad: (3, PH, PW)
+        padded chroma; ref_valid: (3,) bool; seg_*: (4,) int32."""
         cur_pyr = [y]
         for _ in range(4):
             cur_pyr.append(downsample2(cur_pyr[-1]))
-        ref_pyr = build_ref_pyramid(refs_y, wrk_h, wrk_w)
 
         vecs, diffs, best_pred = hierarchical_search(cur_pyr, ref_pyr)
 
@@ -535,8 +534,6 @@ def _cachehook_build_inter_kernel(wrk_w: int, wrk_h: int, ssim_enabled: bool = T
         pred_b = jnp.where((sel_blocks == 2)[:, None, None], best_pred[2], pred_b)
         pred_y = _blocks8_to_plane(pred_b, nby, nbx)
 
-        refs_u_pad = _pad_tiles(refs_u, PAD_C_FULL, PAD_C_FULL)
-        refs_v_pad = _pad_tiles(refs_v, PAD_C_FULL, PAD_C_FULL)
         cpads = (PAD_C_FULL, PAD_C_FULL)
         pred_u = mc_predict_selected(refs_u_pad, cpads, mvs, ref_sel, cmb, cq,
                                      8, wrk_h // 2, wrk_w // 2)
@@ -607,13 +604,76 @@ def _cachehook_build_inter_kernel(wrk_w: int, wrk_h: int, ssim_enabled: bool = T
 
         return levels_pack, meta, cur_ssim, recon_y, recon_u, recon_v
 
+    def kernel(y, u, v, refs_y, refs_u, refs_v, ref_valid,
+               seg_y_dc, seg_y_ac, seg_y2_dc, seg_y2_ac, seg_uv_dc, seg_uv_ac,
+               ssim_target, taps):
+        """Compat entry: raw (3, H, W) refs, pyramids built in-kernel."""
+        del taps  # taps are compile-time constants now
+        ref_pyr = build_ref_pyramid(refs_y, wrk_h, wrk_w)
+        refs_u_pad = _pad_tiles(refs_u, PAD_C_FULL, PAD_C_FULL)
+        refs_v_pad = _pad_tiles(refs_v, PAD_C_FULL, PAD_C_FULL)
+        return body(y, u, v, ref_pyr, refs_u_pad, refs_v_pad, ref_valid,
+                    seg_y_dc, seg_y_ac, seg_y2_dc, seg_y2_ac, seg_uv_dc,
+                    seg_uv_ac, ssim_target)
+
+    def kernel_pyr(y, u, v, pyrs, u_pads, v_pads, ref_valid,
+                   seg_y_dc, seg_y_ac, seg_y2_dc, seg_y2_ac, seg_uv_dc,
+                   seg_uv_ac, ssim_target):
+        """Cached-pyramid entry: pyrs = 3-tuple (last/golden/altref) of
+        5-tuples of padded level planes from build_ref_state_kernel;
+        u_pads/v_pads: 3-tuples of padded chroma.  Reference pyramids are
+        per-frame invariants of each reference (the reference encoder also
+        builds each ref's pyramid once and copies it on promotion,
+        inter_part.h:35-50) — only LAST's is rebuilt per frame."""
+        ref_pyr = []
+        pad, h, w = PAD_Y_FULL, wrk_h, wrk_w
+        for lvl in range(5):
+            stacked = jnp.stack([pyrs[0][lvl], pyrs[1][lvl], pyrs[2][lvl]])
+            ref_pyr.append((stacked, (pad, pad), (h, w)))
+            pad //= 2
+            h //= 2
+            w //= 2
+        refs_u_pad = jnp.stack(list(u_pads))
+        refs_v_pad = jnp.stack(list(v_pads))
+        return body(y, u, v, ref_pyr, refs_u_pad, refs_v_pad, ref_valid,
+                    seg_y_dc, seg_y_ac, seg_y2_dc, seg_y2_ac, seg_uv_dc,
+                    seg_uv_ac, ssim_target)
+
     jitted = jax.jit(kernel)
+    jitted_pyr = jax.jit(kernel_pyr)
     taps_dev = jax.device_put(_SIXTAP)
 
     def run(*args):
         return jitted(*args, taps_dev)
 
+    run.pyr = jitted_pyr
     return run
+
+
+@lru_cache(maxsize=8)
+def _cachehook_build_ref_state_kernel(wrk_w: int, wrk_h: int):
+    """Per-reference device state: 5-level padded search pyramid + padded
+    chroma planes, built once when a frame becomes a reference (the
+    counterpart of the reference's per-ref pyramid buffers, vp8enc.h:216-295
+    and promotion copies inter_part.h:35-50)."""
+    @jax.jit
+    def kern(ry, ru, rv):
+        out = []
+        plane, pad = ry, PAD_Y_FULL
+        for lvl in range(5):
+            out.append(_pad_tiles(plane, pad, pad))
+            if lvl < 4:
+                plane = downsample2(plane)
+                pad //= 2
+        return (tuple(out), _pad_tiles(ru, PAD_C_FULL, PAD_C_FULL),
+                _pad_tiles(rv, PAD_C_FULL, PAD_C_FULL))
+    return kern
+
+
+def build_ref_state_kernel(wrk_w: int, wrk_h: int):
+    from vp8oclenc_tpu.utils.jaxcache import enable
+    enable()
+    return _cachehook_build_ref_state_kernel(wrk_w, wrk_h)
 
 
 def build_inter_kernel(wrk_w: int, wrk_h: int, ssim_enabled: bool = True):
