@@ -124,7 +124,7 @@ def filter_planes(ry, ru, rv, seg_of_mb, inner_mask, levels, mbe, sbe, intr,
     Sv = _shear(rv, 8, mbw, mbh, totc_c)
 
     def step(d, st):
-        Sy, Su, Sv = st
+        Sy, Suv = st
         row = lambda t: jax.lax.dynamic_slice_in_dim(t, d, 1, 0)[0]
         active = row(st_active)
         has_left = row(st_has_left)
@@ -136,30 +136,40 @@ def filter_planes(ry, ru, rv, seg_of_mb, inner_mask, levels, mbe, sbe, intr,
         l_hev = row(st_hev)[:, None]
 
         def do(S, msize):
+            """S: (P, mbh, msize, totc) — P planes filtered as one batch
+            (P=1 luma, P=2 U+V: identical schedule and limits)."""
+            P = S.shape[0]
             S5 = msize + 4
             C = (2 * msize + 4) + msize * d
-            own = jax.lax.dynamic_slice(S, (0, 0, C - 4), (mbh, msize, S5))
+            own = jax.lax.dynamic_slice(
+                S, (0, 0, 0, C - 4), (P, mbh, msize, S5))
             tops = jax.lax.dynamic_slice(
-                S, (0, msize - 4, C - 4 - 2 * msize), (mbh, 4, S5))
+                S, (0, 0, msize - 4, C - 4 - 2 * msize), (P, mbh, 4, S5))
             top_sh = jnp.concatenate(
-                [jnp.zeros((1, 4, S5), S.dtype), tops[:-1]], axis=0)
-            win = jnp.concatenate([top_sh, own], axis=1)
-            win = _filter_window(win, l_mbe, l_sbe, l_int, l_hev,
-                                 has_left, has_top, inner, active, msize)
-            S = jax.lax.dynamic_update_slice(S, win[:, 4:, :], (0, 0, C - 4))
+                [jnp.zeros((P, 1, 4, S5), S.dtype), tops[:, :-1]], axis=1)
+            win = jnp.concatenate([top_sh, own], axis=2) \
+                .reshape(P * mbh, S5, S5)
+            t2 = lambda a: jnp.tile(a, (P, 1))
+            win = _filter_window(win, t2(l_mbe), t2(l_sbe), t2(l_int),
+                                 t2(l_hev), jnp.tile(has_left, P),
+                                 jnp.tile(has_top, P), jnp.tile(inner, P),
+                                 jnp.tile(active, P), msize)
+            win = win.reshape(P, mbh, S5, S5)
+            S = jax.lax.dynamic_update_slice(S, win[:, :, 4:, :],
+                                             (0, 0, 0, C - 4))
             # write filtered top-halo rows back into the band above (its
             # rows msize-3..msize-1); last band's slot keeps current content
             keep = jax.lax.dynamic_slice(
-                S, (mbh - 1, msize - 3, C - 4 - 2 * msize), (1, 3, S5))
-            wt = jnp.concatenate([win[1:, 1:4, :], keep], axis=0)
+                S, (0, mbh - 1, msize - 3, C - 4 - 2 * msize), (P, 1, 3, S5))
+            wt = jnp.concatenate([win[:, 1:, 1:4, :], keep], axis=1)
             return jax.lax.dynamic_update_slice(
-                S, wt, (0, msize - 3, C - 4 - 2 * msize))
+                S, wt, (0, 0, msize - 3, C - 4 - 2 * msize))
 
-        return do(Sy, 16), do(Su, 8), do(Sv, 8)
+        return do(Sy, 16), do(Suv, 8)
 
-    Sy, Su, Sv = jax.lax.fori_loop(0, D, step, (Sy, Su, Sv))
-    return (_unshear(Sy, 16, mbw, mbh), _unshear(Su, 8, mbw, mbh),
-            _unshear(Sv, 8, mbw, mbh))
+    Sy, Suv = jax.lax.fori_loop(0, D, step, (Sy[None], jnp.stack([Su, Sv])))
+    return (_unshear(Sy[0], 16, mbw, mbh), _unshear(Suv[0], 8, mbw, mbh),
+            _unshear(Suv[1], 8, mbw, mbh))
 
 
 @lru_cache(maxsize=8)

@@ -172,13 +172,23 @@ class Encoder:
         fd.coeff_probs = probs
         fd.coeff_update_flags = flags
 
-        partitions = []
-        for rec in records:
-            if use_native:
-                partitions.append(native.pack_tokens(rec, probs))
-            else:
-                p, b = TOK.records_to_bools(rec, probs)
-                partitions.append(pack_bools(p, b))
+        if use_native and len(records) > 1 and self.cfg.threads > 1:
+            # parallel per-partition boolcoders (ctypes releases the GIL) —
+            # the reference's -threads partition parallelism
+            # (CPU_kernels.cl:347-410, one work-item per partition)
+            from concurrent.futures import ThreadPoolExecutor
+            nw = min(len(records), self.cfg.threads)
+            with ThreadPoolExecutor(max_workers=nw) as ex:
+                partitions = list(ex.map(
+                    lambda rec: native.pack_tokens(rec, probs), records))
+        else:
+            partitions = []
+            for rec in records:
+                if use_native:
+                    partitions.append(native.pack_tokens(rec, probs))
+                else:
+                    p, b = TOK.records_to_bools(rec, probs)
+                    partitions.append(pack_bools(p, b))
 
         header = encode_frame_header(fd, seg, cfg, self.width, self.height)
 
