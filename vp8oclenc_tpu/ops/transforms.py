@@ -6,10 +6,11 @@ by tests/test_tpu_backend.py.
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
-from vp8oclenc_tpu.tables import (COSPI8SQRT2MINUS1, INV_ZIGZAG, SINPI8SQRT2,
-                                  ZIGZAG)
+from vp8oclenc_tpu.tables import (COSPI8SQRT2MINUS1, COST_SHIFT, INV_ZIGZAG,
+                                  SINPI8SQRT2, ZIGZAG)
 
 
 def fdct4x4(block):
@@ -113,7 +114,43 @@ def inv_zigzag(scan):
     return scan[..., INV_ZIGZAG].reshape(*scan.shape[:-1], 4, 4)
 
 
+def _cost_consts():
+    import numpy as np
+    from vp8oclenc_tpu.tables import COST_M16, COST_W16
+    m128 = np.zeros((128, 128), dtype=np.float32)
+    for k in range(8):
+        m128[k * 16:(k + 1) * 16, k * 16:(k + 1) * 16] = COST_M16.T
+    w128 = np.tile(COST_W16, 8).astype(np.float32)
+    return m128, w128
+
+
+_COST_M128, _COST_W128 = _cost_consts()
+
+
+def dct_cost(quads16):
+    """ME/mode cost metric (spec/transforms.py:dct_cost, tables.COST_M16)
+    evaluated as one block-diagonal (N/8, 128) @ (128, 128) f32 matmul on
+    the MXU.  Every intermediate is an integer < 2^24, so HIGHEST-precision
+    f32 reproduces the int64 numpy oracle bit-exactly.
+
+    quads16: (..., 16) int32 row-major 4x4 residuals -> (...,) int32.
+    """
+    import numpy as np
+    lead = quads16.shape[:-1]
+    n = int(np.prod(lead)) if lead else 1
+    pad = (-n) % 8
+    flat = quads16.reshape(n, 16).astype(jnp.float32)
+    if pad:
+        flat = jnp.concatenate(
+            [flat, jnp.zeros((pad, 16), jnp.float32)], axis=0)
+    x = flat.reshape(-1, 128)
+    c = jnp.abs(jnp.dot(x, jnp.asarray(_COST_M128),
+                        precision=jax.lax.Precision.HIGHEST))
+    s = (c.reshape(-1, 8, 16) * jnp.asarray(_COST_W128).reshape(8, 16)) \
+        .sum(axis=-1)
+    out = s.reshape(-1)[:n].astype(jnp.int32) >> COST_SHIFT
+    return out.reshape(lead)
+
+
 def dct_weight(residual):
-    c = jnp.abs(fdct4x4(residual))
-    dc = c[..., 0, 0]
-    return jnp.sum(c, axis=(-2, -1)) - dc + dc // 4
+    return dct_cost(residual.reshape(*residual.shape[:-2], 16))

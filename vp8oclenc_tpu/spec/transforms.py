@@ -167,14 +167,18 @@ def inv_zigzag(scan: np.ndarray) -> np.ndarray:
     return scan[..., INV_ZIGZAG].reshape(*scan.shape[:-1], 4, 4)
 
 
+def dct_cost(quads16: np.ndarray) -> np.ndarray:
+    """Normative ME/mode cost metric of this encoder (see tables.COST_M16):
+    a linear integer DCT-domain SAD with DC de-weighted /4, same scale and
+    role as the reference `weight()` (intra_part.h:159-210,
+    GPU_kernels.cl:83-190) but exactly linear so the TPU side can evaluate
+    it as an MXU matmul.  quads16: (..., 16) row-major 4x4 residuals."""
+    from vp8oclenc_tpu.tables import COST_M16, COST_SHIFT
+    c = np.abs(quads16.astype(np.int64) @ COST_M16.T)
+    s = 4 * c.sum(axis=-1) - 3 * c[..., 0]
+    return (s >> COST_SHIFT).astype(np.int64)
+
+
 def dct_weight(residual: np.ndarray) -> np.ndarray:
-    """DCT-domain cost metric: sum(|coeff|) with DC de-weighted /4
-    (the reference `weight()` at intra_part.h:159-210, DC_UNSIGNIFICANCE=4
-    on GPU at GPU_kernels.cl:83,183).  residual: (..., 4, 4) -> (...,).
-    """
-    c = fdct4x4(residual)
-    c = np.abs(c)
-    # reference divides the signed DC by 4 (trunc) before abs-summing; DC of
-    # abs is the same since trunc-div of the abs equals abs of trunc-div.
-    dc = c[..., 0, 0] // 4
-    return (np.sum(c, axis=(-2, -1)) - c[..., 0, 0] + dc).astype(np.int64)
+    """Cost of (..., 4, 4) spatial residuals via `dct_cost`."""
+    return dct_cost(residual.reshape(*residual.shape[:-2], 16))
