@@ -1,7 +1,15 @@
-"""Device wire-format round trip: pack on (CPU) jax, unpack with numpy."""
+"""Device wire-format (v2) round trip: pack on (CPU) jax, unpack with numpy."""
 import numpy as np
 
-from vp8oclenc_tpu.ops.wire import pack_wire, unpack_wire, wire_size
+from vp8oclenc_tpu.ops.wire import (body_capacity, head_size, pack_wire,
+                                    unpack_head, unpack_levels)
+
+
+def _pack(levels, meta, ssim):
+    import jax.numpy as jnp
+    head, body = pack_wire(jnp.asarray(levels), jnp.asarray(meta),
+                           jnp.asarray(ssim))
+    return np.asarray(head), np.asarray(body)
 
 
 def test_wire_roundtrip():
@@ -9,9 +17,9 @@ def test_wire_roundtrip():
     mbc = 60
     levels = (rng.integers(-60, 60, (mbc, 25, 16))
               * (rng.random((mbc, 25, 16)) > 0.8)).astype(np.int16)
-    # escapes: scatter some large values (|v| > 127), <= 16 per MB
+    # escapes: a couple of large values (|v| > 127), <= 2 per MB
     for mbn in range(0, mbc, 3):
-        k = int(rng.integers(1, 16))
+        k = int(rng.integers(1, 3))
         pos = rng.choice(400, k, replace=False)
         levels.reshape(mbc, 400)[mbn, pos] = rng.integers(
             128, 2048, k) * rng.choice([-1, 1], k)
@@ -24,29 +32,45 @@ def test_wire_roundtrip():
     ).astype(np.int32)
     ssim = rng.random(mbc).astype(np.float32)
 
-    import jax.numpy as jnp
-    buf = np.asarray(pack_wire(jnp.asarray(levels), jnp.asarray(meta),
-                               jnp.asarray(ssim)))
-    assert buf.size == wire_size(mbc)
+    head, body = _pack(levels, meta, ssim)
+    assert head.size == head_size(mbc)
+    assert body.size == body_capacity(mbc)
 
-    lv, s2, p2, r2, mv2, ovf, ss2 = unpack_wire(buf, mbc)
-    assert not ovf.any()
+    info = unpack_head(head, mbc)
+    assert not info["esc_overflow"]
+    n_expected = int(np.any(levels != 0, axis=2).sum())
+    assert info["n_active"] == n_expected
+    lv = unpack_levels(info, body[: info["n_active"] * 16], mbc)
     assert np.array_equal(lv, levels)
-    assert np.array_equal(s2, seg)
-    assert np.array_equal(p2, part)
-    assert np.array_equal(r2, ref)
-    assert np.array_equal(mv2.reshape(mbc, 8), mvs.astype(np.int16))
-    assert np.allclose(ss2, ssim, atol=1e-7)
+    assert np.array_equal(info["seg"], seg)
+    assert np.array_equal(info["part"], part)
+    assert np.array_equal(info["ref"], ref)
+    assert np.array_equal(info["mvs"].reshape(mbc, 8), mvs.astype(np.int16))
+    assert abs(info["ssim_min"] - ssim.min()) < 1e-6
+    assert abs(info["ssim_avg"] - ssim.mean()) < 1e-6
+
+
+def test_wire_sparse_body_is_small():
+    mbc = 16
+    levels = np.zeros((mbc, 25, 16), dtype=np.int16)
+    levels[3, 7, 2] = -5
+    levels[10, 24, 0] = 9
+    meta = np.zeros((mbc, 11), dtype=np.int32)
+    ssim = np.zeros(mbc, dtype=np.float32)
+    head, body = _pack(levels, meta, ssim)
+    info = unpack_head(head, mbc)
+    assert info["n_active"] == 2
+    lv = unpack_levels(info, body[:32], mbc)
+    assert np.array_equal(lv, levels)
 
 
 def test_wire_overflow_flag():
-    import jax.numpy as jnp
     mbc = 4
     levels = np.zeros((mbc, 25, 16), dtype=np.int16)
-    levels.reshape(mbc, 400)[2, :20] = 500       # 20 escapes > 16 slots
+    levels.reshape(mbc, 400)[2, :3] = 500        # 3 escapes > 2 slots
     meta = np.zeros((mbc, 11), dtype=np.int32)
     ssim = np.zeros(mbc, dtype=np.float32)
-    buf = np.asarray(pack_wire(jnp.asarray(levels), jnp.asarray(meta),
-                               jnp.asarray(ssim)))
-    *_, ovf, _ = unpack_wire(buf, mbc)
-    assert ovf[2] == 1 and ovf.sum() == 1
+    head, _ = _pack(levels, meta, ssim)
+    info = unpack_head(head, mbc)
+    assert info["esc_overflow"]
+    assert info["ovf"][2] == 1 and info["ovf"].sum() == 1

@@ -41,7 +41,7 @@ enum { SUB_LEFT = 0, SUB_ABOVE, SUB_ZERO, SUB_NEW };        // rebased
 const int B_PRED = 4, TM_PRED = 3, B_DC_PRED = 0;
 const int MV_QUARTERS = 2;
 const int REF_LAST = 0, REF_ALTREF = 2;
-const int ARE16X16 = 0;
+const int ARE8X8 = 1;
 
 // Tree-path table: per leaf value the (prob index, bit) walk used by
 // _write_tree (entropy/header.py:22-27; prob index = tree_index >> 1).
@@ -80,9 +80,12 @@ struct Out {
     uint8_t *probs;
     uint8_t *bits;
     int64_t n;
+    int64_t cap;       // output capacity; overflow keeps counting, stops writing
     inline void put(int p, int b) {
-        probs[n] = (uint8_t)p;
-        bits[n] = (uint8_t)(b != 0);
+        if (n < cap) {
+            probs[n] = (uint8_t)p;
+            bits[n] = (uint8_t)(b != 0);
+        }
         ++n;
     }
     inline void tree(const Paths &P, const uint8_t *probs_tbl, int v) {
@@ -159,7 +162,8 @@ extern "C" {
 // segment_ids/ref_frame/parts/modes: int32; mvs: (mbc,4,2) int16 x,y;
 // mode_probs: (mbc,4) u8; nearest/near_raw: (mbc,) int64 packed;
 // best: (mbc,2) int32; new_mv_probs: (2,19) u8; kf_bmode_prob: (10,10,9) u8;
-// ymode/uvmode_probs: 4/3 u8.  out arrays capacity >= mbc*192.
+// ymode/uvmode_probs: 4/3 u8.  out_cap = capacity of out_probs/out_bits
+// (the Python caller allocates mbc*192; returns -1 on overflow).
 // mv_num/mv_den: (2,19) int64, caller inits den to 1 (count_mv,
 // entropy_host.cpp:452).  Returns the number of bools emitted (phase 1).
 int64_t vp8_mb_headers(
@@ -173,7 +177,7 @@ int64_t vp8_mb_headers(
     const int64_t *nearest_raw, const int64_t *near_raw, const int32_t *best,
     const uint8_t *new_mv_probs, const uint8_t *kf_bmode_prob,
     const uint8_t *ymode_probs, const uint8_t *uvmode_probs,
-    uint8_t *out_probs, uint8_t *out_bits,
+    uint8_t *out_probs, uint8_t *out_bits, int64_t out_cap,
     int64_t *mv_num, int64_t *mv_den) {
     const int mbc = mbw * mbh;
     const Paths seg_tree = build_paths(MB_SEGMENT_TREE);
@@ -186,7 +190,7 @@ int64_t vp8_mb_headers(
     const Paths submv_tree = build_paths(SUBMV_REF_TREE);
     const Paths smv_tree = build_paths(SMALL_MV_TREE);
 
-    Out out{out_probs, out_bits, 0};
+    Out out{out_probs, out_bits, 0, out_cap};
     const bool emit = phase == 1;
     MVCoder mvc{smv_tree, emit ? &out : nullptr, mv_num, mv_den};
 
@@ -205,7 +209,10 @@ int64_t vp8_mb_headers(
             }
             const int16_t *mv = mvs + (int64_t)mbn * 8;
             const int bx = best[mbn * 2], by = best[mbn * 2 + 1];
-            if (parts[mbn] == ARE16X16) {
+            // same predicate as the Python coder (entropy/header.py): only
+            // ARE8X8 MBs take the SPLITMV path; ARE16X16 (and any other
+            // value) codes a whole-MB mode
+            if (parts[mbn] != ARE8X8) {
                 const uint32_t raw = pack_mv(mv[6], mv[7]);
                 if (raw == 0) {
                     if (emit) out.tree(mvref_tree, mode_probs + mbn * 4, ZEROMV);
@@ -295,6 +302,8 @@ int64_t vp8_mb_headers(
             out.tree(uv_tree, uvmode_probs, TM_PRED);
         }
     }
+    // overflow: emitted more bools than the caller's buffer holds
+    if (emit && out.n > out.cap) return -1;
     return out.n;
 }
 

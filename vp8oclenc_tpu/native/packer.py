@@ -65,7 +65,8 @@ def _load():
     lib.vp8_mb_headers.argtypes = [ctypes.c_int] * 4 + \
         [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int] + \
         [ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p] + \
-        [ctypes.c_int] * 3 + [ctypes.c_void_p] * 15
+        [ctypes.c_int] * 3 + [ctypes.c_void_p] * 13 + \
+        [ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p]
     _lib = lib
     return _lib
 
@@ -162,7 +163,10 @@ def mb_headers(phase: int, fd, seg_probs, skip_prob: int,
         int(prob_intra or 0), int(prob_last or 0), int(prob_gf or 0),
         ptr(parts), ptr(mvs), ptr(modes), ptr(mode_probs),
         ptr(nearest), ptr(near), ptr(best), ptr(nmp), ptr(kfb),
-        ptr(ymp), ptr(uvp), ptr(out_p), ptr(out_b), ptr(num), ptr(den))
+        ptr(ymp), ptr(uvp), ptr(out_p), ptr(out_b), len(out_p),
+        ptr(num), ptr(den))
+    if n < 0:
+        raise OverflowError("vp8_mb_headers: bool stream exceeded capacity")
     if phase == 1:
         return out_p[:n], out_b[:n]
     return num, den

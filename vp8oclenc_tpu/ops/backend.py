@@ -82,8 +82,11 @@ class TPUBackend:
 
         ssim_on = cfg.ssim_target > 0.0
         kern = build_inter_kernel(self.wrk_w, self.wrk_h, ssim_enabled=ssim_on)
-        levels_pack, meta, cur_ssim, ry, ru, rv = kern.pyr(
-            jnp.asarray(y), jnp.asarray(u), jnp.asarray(v),
+        # one H2D transfer for the whole frame (the tunnel charges a fixed
+        # latency per transfer; three plane uploads would pay it three times)
+        yuv = jnp.asarray(np.concatenate([y.ravel(), u.ravel(), v.ravel()]))
+        levels_pack, meta, cur_ssim, ry, ru, rv = kern.yuv(
+            yuv,
             (ls[0], gs[0], als[0]), (ls[1], gs[1], als[1]),
             (ls[2], gs[2], als[2]), jnp.asarray(ref_valid),
             jnp.asarray(seg.y_dc_q.astype(np.int32)),
@@ -116,12 +119,13 @@ class TPUBackend:
             self.filtered = True
 
         if not ssim_on:
-            # serialize all host-bound data into one buffer, start the D2H
-            # copy now, materialize lazily (finalize_framedata)
+            # serialize all host-bound data into a small fixed head + a
+            # compacted body; start the head D2H now, fetch only the body's
+            # used prefix lazily (finalize_framedata)
             from vp8oclenc_tpu.ops.wire import build_wire_kernel
-            wire = build_wire_kernel(mbc)(levels_pack, meta, cur_ssim)
+            head, body = build_wire_kernel(mbc)(levels_pack, meta, cur_ssim)
             try:
-                wire.copy_to_host_async()
+                head.copy_to_host_async()
             except AttributeError:
                 pass
             fd = FrameData(
@@ -130,7 +134,7 @@ class TPUBackend:
                 modes=np.zeros((mbc, 16), dtype=np.int8),
                 is_inter=np.ones(mbc, dtype=bool), ref_frame=None, mvs=None,
                 replaced=0)
-            fd.device_outputs = (wire, levels_pack)
+            fd.device_outputs = (head, body, levels_pack)
             fd.weak_seg = weak
             enc.recon = PendingRecon(self)
             return fd
@@ -183,24 +187,29 @@ class TPUBackend:
         """Materialize a lazily-returned inter FrameData (fused path)."""
         if getattr(fd, "device_outputs", None) is None:
             return
-        from vp8oclenc_tpu.ops.wire import unpack_wire
-        wire, levels_pack = fd.device_outputs
+        from vp8oclenc_tpu.ops.wire import unpack_head, unpack_levels
+        head, body, levels_pack = fd.device_outputs
         fd.device_outputs = None
         mbc = self.mbc
-        levels, segi, parts, ref, mvs, ovf, cur_ssim = unpack_wire(
-            np.asarray(wire), mbc)
-        if ovf.any():
-            # >16 escape coefficients in one MB: take the full int16 levels
+        info = unpack_head(np.asarray(head), mbc)
+        if info["esc_overflow"]:
+            # >ESC_SLOTS escape coefficients in one MB: full int16 levels
             levels = np.asarray(levels_pack).astype(np.int16)
+        else:
+            n = info["n_active"] * 16
+            prefix = np.asarray(body[:n]) if n else np.zeros(0, np.uint8)
+            levels = unpack_levels(info, prefix, mbc)
         fd.levels = levels
-        fd.segment_ids = segi
-        fd.parts = parts
+        fd.segment_ids = info["seg"]
+        fd.parts = info["part"]
         ref_map = np.array([LAST, GOLDEN, ALTREF])
-        fd.ref_frame = ref_map[ref].astype(np.int32)
-        fd.mvs = mvs
+        fd.ref_frame = ref_map[info["ref"]].astype(np.int32)
+        fd.mvs = info["mvs"]
+        fd.ssim_min = info["ssim_min"]
+        fd.ssim_avg = info["ssim_avg"]
         # header bookkeeping for the weaken-filter rule (the device already
         # selected the weakened limits; mirror it for the written header)
-        if float(cur_ssim.min()) > 0.95 and getattr(fd, "weak_seg", None):
+        if info["ssim_min"] > 0.95 and getattr(fd, "weak_seg", None):
             seg.__dict__.update(fd.weak_seg.__dict__)
 
     # -------------------------------------------------- loop filter

@@ -639,14 +639,31 @@ def _cachehook_build_inter_kernel(wrk_w: int, wrk_h: int, ssim_enabled: bool = T
                     seg_y_dc, seg_y_ac, seg_y2_dc, seg_y2_ac, seg_uv_dc,
                     seg_uv_ac, ssim_target)
 
+    def kernel_yuv(yuv, pyrs, u_pads, v_pads, ref_valid,
+                   seg_y_dc, seg_y_ac, seg_y2_dc, seg_y2_ac, seg_uv_dc,
+                   seg_uv_ac, ssim_target):
+        """Single-upload entry: yuv is the flat uint8 concatenation of the
+        padded Y, U, V planes (one H2D transfer instead of three — the
+        tunnel charges fixed latency per transfer)."""
+        ny = wrk_h * wrk_w
+        nc = (wrk_h // 2) * (wrk_w // 2)
+        y = yuv[:ny].reshape(wrk_h, wrk_w)
+        u = yuv[ny:ny + nc].reshape(wrk_h // 2, wrk_w // 2)
+        v = yuv[ny + nc:].reshape(wrk_h // 2, wrk_w // 2)
+        return kernel_pyr(y, u, v, pyrs, u_pads, v_pads, ref_valid,
+                          seg_y_dc, seg_y_ac, seg_y2_dc, seg_y2_ac,
+                          seg_uv_dc, seg_uv_ac, ssim_target)
+
     jitted = jax.jit(kernel)
     jitted_pyr = jax.jit(kernel_pyr)
+    jitted_yuv = jax.jit(kernel_yuv)
     taps_dev = jax.device_put(_SIXTAP)
 
     def run(*args):
         return jitted(*args, taps_dev)
 
     run.pyr = jitted_pyr
+    run.yuv = jitted_yuv
     return run
 
 

@@ -1,20 +1,28 @@
-"""Device→host wire format for per-frame entropy inputs.
+"""Device→host wire format for per-frame entropy inputs (v2, compacted).
 
 The tunnel-attached TPU pays high fixed latency plus low bandwidth per
-transfer, so everything the host entropy stage needs (coefficient levels,
-per-MB metadata, SSIM) is serialized on device into ONE uint8 buffer, at
-~58% of the naive int16/int32 size:
+transfer.  Coefficient levels are overwhelmingly zero, so the frame's
+host-bound data is split into a small fixed-size HEAD and a variable-size
+BODY of which the host fetches only the used prefix (mirroring the reference
+architecture where only compact data leaves the coding device,
+/root/reference/src/CPU_kernels.cl:347-778 + readback encIO.h:1-30):
 
-  [0]                lo:    (mbc, 25, 16) int8   levels clipped to ±127
-  [mbc*400]          off:   (mbc, 16)     uint16 escape offsets (0xFFFF empty)
-  [+mbc*32]          val:   (mbc, 16)     int16  escape values (full level)
-  [+mbc*32]          meta8: (mbc, 20)     u8     seg, part, ref, ovf, mvs 8xi16
-  [+mbc*20]          ssim:  (mbc,)        f32
+HEAD (fixed, ~31 B/MB):
+  [0:4]    n_active  i32   number of 4x4 blocks with any nonzero level
+  [4:8]    flags     i32   bit0: escape overflow somewhere (fallback needed)
+  [8:12]   ssim_min  f32   per-frame SSIM aggregates (print-info + the
+  [12:16]  ssim_avg  f32   weaken-filter rule, vp8enc.cpp:258, 247)
+  [16:+ceil(25*mbc/8)]     active-block bitmap (little-endian bits)
+  [+mbc*20]                meta8: seg, part, ref, esc_ovf, mvs 8xi16
+  [+mbc*4]                 esc_off: (mbc, 2) u16 dense-coord escape offsets
+  [+mbc*4]                 esc_val: (mbc, 2) i16 escape values
 
-Escapes (|level| > 127) are recovered by scatter on the host; a per-MB
-overflow flag (more than 16 escapes in one MB — practically unreachable)
-makes the caller fall back to materializing the device-resident int16
-levels directly.
+BODY (device-resident until finalize):
+  (25*mbc*16,) u8 — int8 levels of the active blocks compacted to the
+  front in block order; the host fetches body[:n_active*16] only.
+
+Escapes (|level| > 127, at most 2 per MB before the dense fallback kicks
+in) are patched on the host after reconstruction.
 """
 from __future__ import annotations
 
@@ -24,36 +32,61 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-ESC_SLOTS = 16
+ESC_SLOTS = 2
 
 
 def pack_wire(levels_pack, meta, cur_ssim):
-    """Traceable: (mbc,25,16) i16 levels + (mbc,11) i32 meta + (mbc,) f32
-    -> flat uint8 wire buffer."""
+    """Traceable: (mbc,25,16) int levels + (mbc,11) i32 meta + (mbc,) f32
+    -> (head u8 vector, body u8 vector)."""
     mbc = levels_pack.shape[0]
+    nb = mbc * 25
+    blocks = levels_pack.reshape(nb, 16).astype(jnp.int16)
+    active = jnp.any(blocks != 0, axis=1)
+    n_active = active.sum().astype(jnp.int32)
+
+    # bitmap (little-endian bit order to match np.unpackbits(bitorder="little"))
+    nb8 = -(-nb // 8) * 8
+    apad = jnp.pad(active.astype(jnp.uint8), (0, nb8 - nb))
+    weights = jnp.asarray([1, 2, 4, 8, 16, 32, 64, 128], jnp.uint8)
+    bitmap = (apad.reshape(nb8 // 8, 8) * weights[None, :]).sum(
+        axis=1, dtype=jnp.uint8)
+
+    # stable-sort compaction: active blocks to the front in original order
+    key = (~active).astype(jnp.int32)
+    _, src = jax.lax.sort((key, jnp.arange(nb, dtype=jnp.int32)),
+                          num_keys=1, is_stable=True)
+    gath = jnp.take(blocks, src, axis=0)                 # (nb, 16) i16
+    lo = jnp.clip(gath, -128, 127).astype(jnp.int8)
+    body = jax.lax.bitcast_convert_type(lo, jnp.uint8).reshape(-1)
+
+    # per-MB escapes in dense (mb, 400) coordinates, patched host-side
     flat = levels_pack.reshape(mbc, 400).astype(jnp.int32)
-    lo = jnp.clip(flat, -128, 127)
-    esc = flat != lo
+    esc = flat != jnp.clip(flat, -128, 127)
     score = jnp.where(esc, 400 - jnp.arange(400, dtype=jnp.int32)[None, :], 0)
     v, idx = jax.lax.top_k(score, ESC_SLOTS)
     valid = v > 0
-    off = jnp.where(valid, idx, 0xFFFF).astype(jnp.uint16)
-    vals = jnp.where(valid, jnp.take_along_axis(flat, idx, axis=1),
-                     0).astype(jnp.int16)
-    ovf = (jnp.sum(esc, axis=1) > ESC_SLOTS).astype(jnp.uint8)
+    esc_off = jnp.where(valid, idx, 0xFFFF).astype(jnp.uint16)
+    esc_val = jnp.where(valid, jnp.take_along_axis(flat, idx, axis=1),
+                        0).astype(jnp.int16)
+    esc_ovf = (jnp.sum(esc, axis=1) > ESC_SLOTS).astype(jnp.uint8)
+    flags = jnp.any(esc_ovf).astype(jnp.int32)
 
     as_u8 = lambda a: jax.lax.bitcast_convert_type(a, jnp.uint8).reshape(-1)
     meta8 = jnp.concatenate([
         meta[:, 0].astype(jnp.uint8)[:, None],
         meta[:, 1].astype(jnp.uint8)[:, None],
         meta[:, 2].astype(jnp.uint8)[:, None],
-        ovf[:, None],
+        esc_ovf[:, None],
         jax.lax.bitcast_convert_type(
             meta[:, 3:11].astype(jnp.int16), jnp.uint8).reshape(mbc, 16),
     ], axis=1)
-    return jnp.concatenate([
-        as_u8(lo.astype(jnp.int8)), as_u8(off), as_u8(vals),
-        meta8.reshape(-1), as_u8(cur_ssim.astype(jnp.float32))])
+
+    head = jnp.concatenate([
+        as_u8(n_active), as_u8(flags),
+        as_u8(cur_ssim.min().astype(jnp.float32)),
+        as_u8(cur_ssim.mean().astype(jnp.float32)),
+        bitmap, meta8.reshape(-1), as_u8(esc_off), as_u8(esc_val)])
+    return head, body
 
 
 @lru_cache(maxsize=8)
@@ -70,31 +103,55 @@ def build_wire_kernel(mbc: int):
     return _cachehook_build_wire_kernel(mbc)
 
 
-def wire_size(mbc: int) -> int:
-    return mbc * (400 + 2 * ESC_SLOTS * 2 + 20 + 4)
+def head_size(mbc: int) -> int:
+    nb = mbc * 25
+    return 16 + (-(-nb // 8)) + mbc * 20 + mbc * ESC_SLOTS * 4
 
 
-def unpack_wire(buf: np.ndarray, mbc: int):
-    """numpy: wire buffer -> (levels (mbc,25,16) i16, seg, part, ref,
-    mvs (mbc,4,2) i16, ovf (mbc,) u8, ssim (mbc,) f64)."""
-    buf = np.ascontiguousarray(buf, dtype=np.uint8)
-    o = 0
-    lo = buf[o:o + mbc * 400].view(np.int8).astype(np.int16).reshape(mbc, 400)
-    o += mbc * 400
-    off = buf[o:o + mbc * ESC_SLOTS * 2].view("<u2").reshape(mbc, ESC_SLOTS)
-    o += mbc * ESC_SLOTS * 2
-    val = buf[o:o + mbc * ESC_SLOTS * 2].view("<i2").reshape(mbc, ESC_SLOTS)
-    o += mbc * ESC_SLOTS * 2
-    meta8 = buf[o:o + mbc * 20].reshape(mbc, 20)
+def body_capacity(mbc: int) -> int:
+    return mbc * 25 * 16
+
+
+def unpack_head(head: np.ndarray, mbc: int) -> dict:
+    """numpy: head buffer -> dict of parsed fields (no levels yet)."""
+    head = np.ascontiguousarray(head, dtype=np.uint8)
+    nb = mbc * 25
+    nbm = -(-nb // 8)
+    n_active = int(head[0:4].view("<i4")[0])
+    flags = int(head[4:8].view("<i4")[0])
+    ssim_min = float(head[8:12].view("<f4")[0])
+    ssim_avg = float(head[12:16].view("<f4")[0])
+    o = 16
+    bitmap = head[o:o + nbm]
+    o += nbm
+    meta8 = head[o:o + mbc * 20].reshape(mbc, 20)
     o += mbc * 20
-    ssim = buf[o:o + mbc * 4].view("<f4").astype(np.float64)
+    esc_off = head[o:o + mbc * ESC_SLOTS * 2].view("<u2").reshape(mbc, ESC_SLOTS)
+    o += mbc * ESC_SLOTS * 2
+    esc_val = head[o:o + mbc * ESC_SLOTS * 2].view("<i2").reshape(mbc, ESC_SLOTS)
 
-    m = off != 0xFFFF
-    rows = np.nonzero(m)[0]
-    lo[rows, off[m]] = val[m]
-    seg = meta8[:, 0].astype(np.int32)
-    part = meta8[:, 1].astype(np.int32)
-    ref = meta8[:, 2].astype(np.int32)
-    ovf = meta8[:, 3].copy()
-    mvs = np.ascontiguousarray(meta8[:, 4:20]).view("<i2").reshape(mbc, 4, 2)
-    return lo.reshape(mbc, 25, 16), seg, part, ref, mvs, ovf, ssim
+    active = np.unpackbits(bitmap, bitorder="little")[:nb].astype(bool)
+    return dict(
+        n_active=n_active, esc_overflow=bool(flags & 1),
+        ssim_min=ssim_min, ssim_avg=ssim_avg, active=active,
+        seg=meta8[:, 0].astype(np.int32), part=meta8[:, 1].astype(np.int32),
+        ref=meta8[:, 2].astype(np.int32), ovf=meta8[:, 3].copy(),
+        mvs=np.ascontiguousarray(meta8[:, 4:20]).view("<i2").reshape(mbc, 4, 2),
+        esc_off=esc_off, esc_val=esc_val)
+
+
+def unpack_levels(info: dict, body_prefix: np.ndarray, mbc: int) -> np.ndarray:
+    """numpy: parsed head + the fetched body[:n_active*16] prefix
+    -> dense (mbc, 25, 16) int16 levels."""
+    nb = mbc * 25
+    lo = np.zeros((nb, 16), dtype=np.int16)
+    rows = np.nonzero(info["active"])[0]
+    if info["n_active"]:
+        lo[rows] = np.ascontiguousarray(
+            body_prefix[: info["n_active"] * 16], dtype=np.uint8) \
+            .view(np.int8).astype(np.int16).reshape(info["n_active"], 16)
+    levels = lo.reshape(mbc, 25, 16)
+    m = info["esc_off"] != 0xFFFF
+    r = np.nonzero(m)[0]
+    levels.reshape(mbc, 400)[r, info["esc_off"][m]] = info["esc_val"][m]
+    return levels

@@ -97,6 +97,14 @@ class Encoder:
             self.tpu = TPUBackend(cfg, self.wrk_w, self.wrk_h)
         else:
             self.tpu = None
+        self._pool = None              # lazy per-partition packing pool
+
+    def _executor(self):
+        if self._pool is None:
+            from concurrent.futures import ThreadPoolExecutor
+            nw = min(max(self.cfg.num_partitions, 1), self.cfg.threads)
+            self._pool = ThreadPoolExecutor(max_workers=nw)
+        return self._pool
 
     # ---- scene change (reference vp8enc.cpp:265-311) ----
     def _scene_change(self, u: np.ndarray, v: np.ndarray) -> bool:
@@ -175,12 +183,10 @@ class Encoder:
         if use_native and len(records) > 1 and self.cfg.threads > 1:
             # parallel per-partition boolcoders (ctypes releases the GIL) —
             # the reference's -threads partition parallelism
-            # (CPU_kernels.cl:347-410, one work-item per partition)
-            from concurrent.futures import ThreadPoolExecutor
-            nw = min(len(records), self.cfg.threads)
-            with ThreadPoolExecutor(max_workers=nw) as ex:
-                partitions = list(ex.map(
-                    lambda rec: native.pack_tokens(rec, probs), records))
+            # (CPU_kernels.cl:347-410, one work-item per partition); the
+            # executor is created once and reused across frames
+            partitions = list(self._executor().map(
+                lambda rec: native.pack_tokens(rec, probs), records))
         else:
             partitions = []
             for rec in records:
