@@ -30,7 +30,7 @@ def test_wire_roundtrip():
     meta = np.concatenate(
         [seg[:, None], part[:, None], ref[:, None], mvs], axis=1
     ).astype(np.int32)
-    ssim = rng.random(mbc).astype(np.float32)
+    ssim = rng.integers(-98304, 98304, mbc).astype(np.int32)  # Q15 fx
 
     head, body = _pack(levels, meta, ssim)
     assert head.size == head_size(mbc)
@@ -46,8 +46,8 @@ def test_wire_roundtrip():
     assert np.array_equal(info["part"], part)
     assert np.array_equal(info["ref"], ref)
     assert np.array_equal(info["mvs"].reshape(mbc, 8), mvs.astype(np.int16))
-    assert abs(info["ssim_min"] - ssim.min()) < 1e-6
-    assert abs(info["ssim_avg"] - ssim.mean()) < 1e-6
+    assert info["ssim_min_fx"] == ssim.min()
+    assert info["ssim_sum_fx"] == int(np.maximum(ssim, -98304).sum())
 
 
 def test_wire_sparse_body_is_small():
@@ -56,7 +56,7 @@ def test_wire_sparse_body_is_small():
     levels[3, 7, 2] = -5
     levels[10, 24, 0] = 9
     meta = np.zeros((mbc, 11), dtype=np.int32)
-    ssim = np.zeros(mbc, dtype=np.float32)
+    ssim = np.zeros(mbc, dtype=np.int32)
     head, body = _pack(levels, meta, ssim)
     info = unpack_head(head, mbc)
     assert info["n_active"] == 2
@@ -69,7 +69,7 @@ def test_wire_overflow_flag():
     levels = np.zeros((mbc, 25, 16), dtype=np.int16)
     levels.reshape(mbc, 400)[2, :3] = 500        # 3 escapes > 2 slots
     meta = np.zeros((mbc, 11), dtype=np.int32)
-    ssim = np.zeros(mbc, dtype=np.float32)
+    ssim = np.zeros(mbc, dtype=np.int32)
     head, _ = _pack(levels, meta, ssim)
     info = unpack_head(head, mbc)
     assert info["esc_overflow"]

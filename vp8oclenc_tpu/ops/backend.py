@@ -80,7 +80,9 @@ class TPUBackend:
             if (use_altref and self.altref_state is not None) else ls
         ref_valid = np.array([True, use_golden, use_altref])
 
+        from vp8oclenc_tpu.ssim_fx import WEAKEN_FX, target_fx
         ssim_on = cfg.ssim_target > 0.0
+        tfx3 = target_fx(cfg.ssim_target) if ssim_on else -1
         kern = build_inter_kernel(self.wrk_w, self.wrk_h, ssim_enabled=ssim_on)
         # one H2D transfer for the whole frame (the tunnel charges a fixed
         # latency per transfer; three plane uploads would pay it three times)
@@ -95,7 +97,7 @@ class TPUBackend:
             jnp.asarray(seg.y2_ac_q.astype(np.int32)),
             jnp.asarray(seg.uv_dc_q.astype(np.int32)),
             jnp.asarray(seg.uv_ac_q.astype(np.int32)),
-            jnp.float32(cfg.ssim_target))
+            jnp.int32(tfx3))
         if ssim_on:
             self.pending = (ry, ru, rv)
             self.filtered = False
@@ -141,7 +143,7 @@ class TPUBackend:
 
         levels = np.asarray(levels_pack)
         meta = np.asarray(meta)
-        cur_ssim = np.asarray(cur_ssim).astype(np.float64)
+        cur_fx = np.asarray(cur_ssim).astype(np.int32)
         segment_ids = meta[:, 0].copy()
         parts = meta[:, 1].copy()
         ref_map = np.array([LAST, GOLDEN, ALTREF])
@@ -151,37 +153,39 @@ class TPUBackend:
         modes = np.zeros((mbc, 16), dtype=np.int8)
 
         replaced = 0
-        ssim_target = cfg.ssim_target
-        if 0.0 < ssim_target:
+        if ssim_on:
             recon_y, recon_u, recon_v = (np.asarray(p).copy() for p in self.pending)
             levels = np.ascontiguousarray(levels)
             replaced = _intra_replace(enc, y, u, v, recon_y, recon_u, recon_v,
                                       levels, modes, parts, segment_ids,
-                                      cur_ssim, is_inter, seg, ssim_target)
+                                      cur_fx, is_inter, seg, tfx3)
             if replaced:
                 self.pending = (jnp.asarray(recon_y), jnp.asarray(recon_u),
                                 jnp.asarray(recon_v))
-        if float(cur_ssim.min()) > 0.95:
+        if int(cur_fx.min()) > WEAKEN_FX:
             from vp8oclenc_tpu.pipeline.segments import prepare_segments
             seg2 = prepare_segments(cfg, y, False, is_altref,
                                     weaken_filter=True,
                                     strength=seg.raw_strength)
             seg.__dict__.update(seg2.__dict__)
-        if 0.0 < ssim_target:
-            avg = float(cur_ssim.mean())
-            if replaced > mbc // 6 or avg < ssim_target:
-                if avg < ssim_target:
+        if ssim_on:
+            sum_fx = int(np.maximum(cur_fx, -98304).astype(np.int64).sum())
+            if replaced > mbc // 6 or sum_fx < tfx3 * mbc:
+                if sum_fx < tfx3 * mbc:
                     enc.stats.scene_changes_by_ssim += 1
                 else:
                     enc.stats.scene_changes_by_replaced += 1
                 return None
 
         enc.recon = PendingRecon(self)
-        return FrameData(
+        fd = FrameData(
             mbw=self.mbw, mbh=self.mbh, is_key=False, is_golden=is_golden,
             is_altref=is_altref, levels=levels.astype(np.int16), parts=parts,
             segment_ids=segment_ids, modes=modes, is_inter=is_inter,
             ref_frame=ref_frame.astype(np.int32), mvs=mvs, replaced=replaced)
+        fd.ssim_min_fx = int(cur_fx.min())
+        fd.ssim_sum_fx = int(np.maximum(cur_fx, -98304).astype(np.int64).sum())
+        return fd
 
     def finalize_framedata(self, fd, seg) -> None:
         """Materialize a lazily-returned inter FrameData (fused path)."""
@@ -205,11 +209,12 @@ class TPUBackend:
         ref_map = np.array([LAST, GOLDEN, ALTREF])
         fd.ref_frame = ref_map[info["ref"]].astype(np.int32)
         fd.mvs = info["mvs"]
-        fd.ssim_min = info["ssim_min"]
-        fd.ssim_avg = info["ssim_avg"]
+        fd.ssim_min_fx = info["ssim_min_fx"]
+        fd.ssim_sum_fx = info["ssim_sum_fx"]
         # header bookkeeping for the weaken-filter rule (the device already
         # selected the weakened limits; mirror it for the written header)
-        if info["ssim_min"] > 0.95 and getattr(fd, "weak_seg", None):
+        from vp8oclenc_tpu.ssim_fx import WEAKEN_FX
+        if info["ssim_min_fx"] > WEAKEN_FX and getattr(fd, "weak_seg", None):
             seg.__dict__.update(fd.weak_seg.__dict__)
 
     # -------------------------------------------------- loop filter

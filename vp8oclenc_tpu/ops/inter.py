@@ -30,13 +30,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from vp8oclenc_tpu.ops import transforms as T
+from vp8oclenc_tpu.ssim_fx import UNCODED_FX, mb_ssim_fx
 from vp8oclenc_tpu.tables import (ARE8X8, ARE16X16, LQ_SEGMENT,
                                   SIXTAP_FILTERS)
 
 VECTOR_DIFF_WEIGHT = 64
 BIG = jnp.int32(1 << 28)
-SSIM_C1 = 0.01 * 0.01 * 255 * 255
-SSIM_C2 = 0.03 * 0.03 * 255 * 255
 
 # max full-res excursion of any ref read: |v|<=62 fullpel (2 per level x
 # pixel_rate) + search window 2 + six-tap apron 3 + qpel shift 1 < 80
@@ -448,29 +447,12 @@ def transform_mb_chroma(res_blocks, dc_q, ac_q):
 
 
 # ---------------------------------------------------------------------------
-# SSIM
+# SSIM — integer Q15 (vp8oclenc_tpu.ssim_fx), deterministic across backends
 # ---------------------------------------------------------------------------
 
-def _ssim_plane_mb(src, rec, size: int):
-    H, W = src.shape
-    s = src.reshape(H // size, size, W // size, size) \
-        .swapaxes(1, 2).astype(jnp.float32)
-    r = rec.reshape(H // size, size, W // size, size) \
-        .swapaxes(1, 2).astype(jnp.float32)
-    m1 = s.mean(axis=(2, 3))
-    m2 = r.mean(axis=(2, 3))
-    d1 = ((s - m1[..., None, None]) ** 2).mean(axis=(2, 3))
-    d2 = ((r - m2[..., None, None]) ** 2).mean(axis=(2, 3))
-    c = ((s - m1[..., None, None]) * (r - m2[..., None, None])).mean(axis=(2, 3))
-    ssim = ((2 * m1 * m2 + SSIM_C1) * (2 * c + SSIM_C2)) / \
-           ((m1 * m1 + m2 * m2 + SSIM_C1) * (d1 + d2 + SSIM_C2))
-    dc = jnp.abs(m1 - m2)
-    return (ssim - jnp.where(dc > 4, dc * 0.02, 0.0)).reshape(-1)
-
-
 def mb_ssim(y, ry, u, ru, v, rv):
-    return (_ssim_plane_mb(y, ry, 16) + _ssim_plane_mb(u, ru, 8)
-            + _ssim_plane_mb(v, rv, 8)) / 3.0
+    """(mbc,) int32 Q15 3-plane score (ssim_fx.mb_ssim_fx with xp=jnp)."""
+    return mb_ssim_fx(y, ry, u, ru, v, rv, xp=jnp)
 
 
 # ---------------------------------------------------------------------------
@@ -547,7 +529,8 @@ def _cachehook_build_inter_kernel(wrk_w: int, wrk_h: int, ssim_enabled: bool = T
         pred_u_b = _mb_blocks_chroma(pred_u, mbw, mbh)
         pred_v_b = _mb_blocks_chroma(pred_v, mbw, mbh)
 
-        # progressive segment requantization LQ -> UQ
+        # progressive segment requantization LQ -> UQ (ssim_target is the
+        # 3-plane Q15 integer threshold; -1 when SSIM control is off)
         def seg_pass(i, st):
             (levels_y, levels_y2, levels_u, levels_v, seg_ids,
              cur_ssim, rec_y_b, rec_u_b, rec_v_b) = st
@@ -581,7 +564,7 @@ def _cachehook_build_inter_kernel(wrk_w: int, wrk_h: int, ssim_enabled: bool = T
               jnp.zeros((mbc, 4, 16), jnp.int32),
               jnp.zeros((mbc, 4, 16), jnp.int32),
               jnp.full((mbc,), LQ_SEGMENT, jnp.int32),
-              jnp.full((mbc,), -2.0, jnp.float32),
+              jnp.full((mbc,), UNCODED_FX, jnp.int32),
               jnp.zeros((mbc, 16, 4, 4), jnp.int32),
               jnp.zeros((mbc, 4, 4, 4), jnp.int32),
               jnp.zeros((mbc, 4, 4, 4), jnp.int32))

@@ -215,7 +215,8 @@ def _cachehook_build_filter_from_meta_kernel(mbw: int, mbh: int):
         nzc = (a[:, :16, 1:].sum(axis=(1, 2)) + a[:, 16:24].sum(axis=(1, 2))
                + a[:, :16, 0].sum(axis=1) + a[:, 24].sum(axis=1))
         inner = (parts != 0) | (nzc != 0)      # ARE16X16 == 0
-        weaken = jnp.min(cur_ssim) > 0.95
+        from vp8oclenc_tpu.ssim_fx import WEAKEN_FX
+        weaken = jnp.min(cur_ssim) > WEAKEN_FX     # cur_ssim is int32 Q15
         lf_use = jnp.where(weaken, lf[1], lf[0])
         return filter_planes(ry, ru, rv, seg_ids, inner,
                              lf_use[0], lf_use[1], lf_use[2], lf_use[3],

@@ -10,8 +10,8 @@ architecture where only compact data leaves the coding device,
 HEAD (fixed, ~31 B/MB):
   [0:4]    n_active  i32   number of 4x4 blocks with any nonzero level
   [4:8]    flags     i32   bit0: escape overflow somewhere (fallback needed)
-  [8:12]   ssim_min  f32   per-frame SSIM aggregates (print-info + the
-  [12:16]  ssim_avg  f32   weaken-filter rule, vp8enc.cpp:258, 247)
+  [8:12]   ssim_min  i32   per-frame Q15 SSIM aggregates (print-info + the
+  [12:16]  ssim_sum  i32   weaken-filter rule, vp8enc.cpp:258, 247)
   [16:+ceil(25*mbc/8)]     active-block bitmap (little-endian bits)
   [+mbc*20]                meta8: seg, part, ref, esc_ovf, mvs 8xi16
   [+mbc*4]                 esc_off: (mbc, 2) u16 dense-coord escape offsets
@@ -81,10 +81,12 @@ def pack_wire(levels_pack, meta, cur_ssim):
             meta[:, 3:11].astype(jnp.int16), jnp.uint8).reshape(mbc, 16),
     ], axis=1)
 
+    # sum clamps each MB at -1.0 (-Q3) so the int32 total cannot wrap even
+    # on a pathological frame (DC penalties can push fx below -Q3)
     head = jnp.concatenate([
         as_u8(n_active), as_u8(flags),
-        as_u8(cur_ssim.min().astype(jnp.float32)),
-        as_u8(cur_ssim.mean().astype(jnp.float32)),
+        as_u8(cur_ssim.min().astype(jnp.int32)),
+        as_u8(jnp.maximum(cur_ssim, -98304).sum().astype(jnp.int32)),
         bitmap, meta8.reshape(-1), as_u8(esc_off), as_u8(esc_val)])
     return head, body
 
@@ -119,8 +121,8 @@ def unpack_head(head: np.ndarray, mbc: int) -> dict:
     nbm = -(-nb // 8)
     n_active = int(head[0:4].view("<i4")[0])
     flags = int(head[4:8].view("<i4")[0])
-    ssim_min = float(head[8:12].view("<f4")[0])
-    ssim_avg = float(head[12:16].view("<f4")[0])
+    ssim_min_fx = int(head[8:12].view("<i4")[0])
+    ssim_sum_fx = int(head[12:16].view("<i4")[0])
     o = 16
     bitmap = head[o:o + nbm]
     o += nbm
@@ -133,7 +135,7 @@ def unpack_head(head: np.ndarray, mbc: int) -> dict:
     active = np.unpackbits(bitmap, bitorder="little")[:nb].astype(bool)
     return dict(
         n_active=n_active, esc_overflow=bool(flags & 1),
-        ssim_min=ssim_min, ssim_avg=ssim_avg, active=active,
+        ssim_min_fx=ssim_min_fx, ssim_sum_fx=ssim_sum_fx, active=active,
         seg=meta8[:, 0].astype(np.int32), part=meta8[:, 1].astype(np.int32),
         ref=meta8[:, 2].astype(np.int32), ovf=meta8[:, 3].copy(),
         mvs=np.ascontiguousarray(meta8[:, 4:20]).view("<i2").reshape(mbc, 4, 2),

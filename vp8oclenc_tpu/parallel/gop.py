@@ -106,7 +106,7 @@ def example_inputs(mesh: Mesh, wrk_w: int, wrk_h: int, G: int):
     refs_v = mk(G, 3, wrk_h // 2, wrk_w // 2)
     ref_valid = jnp.ones((G, 3), dtype=bool)
     q = jnp.asarray(np.tile(np.array([8, 10, 16, 12, 8, 10], np.int32)[:, None], (1, 4)))
-    ssim_t = jnp.float32(-1.0)
+    ssim_t = jnp.int32(-1)      # Q15 3-plane threshold; -1 = SSIM off
     prev_u, prev_v = u, v
     from vp8oclenc_tpu.parallel.mesh import gop_sharding
     sh = gop_sharding(mesh)

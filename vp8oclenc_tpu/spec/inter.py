@@ -15,44 +15,10 @@ from vp8oclenc_tpu.pipeline.segments import SegmentData
 from vp8oclenc_tpu.spec import intra as SPEC_INTRA
 from vp8oclenc_tpu.spec import motion as M
 from vp8oclenc_tpu.spec import transforms as T
+from vp8oclenc_tpu.ssim_fx import (UNCODED_FX, WEAKEN_FX, mb_ssim_fx,
+                                   mb_ssim_fx_16x16, target_fx)
 from vp8oclenc_tpu.tables import (ALTREF, ARE4X4, ARE8X8, ARE16X16, GOLDEN,
                                   LAST, LQ_SEGMENT)
-
-SSIM_C1 = 0.01 * 0.01 * 255 * 255
-SSIM_C2 = 0.03 * 0.03 * 255 * 255
-
-
-def _plane_blocks(p: np.ndarray, size: int) -> np.ndarray:
-    """(H,W) -> (nby, nbx, size, size)"""
-    H, W = p.shape
-    return p.reshape(H // size, size, W // size, size).transpose(0, 2, 1, 3)
-
-
-def _blocks_plane(b: np.ndarray) -> np.ndarray:
-    nby, nbx, s, _ = b.shape
-    return b.transpose(0, 2, 1, 3).reshape(nby * s, nbx * s)
-
-
-def _ssim_plane_mb(src: np.ndarray, rec: np.ndarray, size: int) -> np.ndarray:
-    """Per-MB single-scale SSIM with the DC-difference penalty
-    (count_SSIM_luma/chroma, GPU_kernels.cl:1610-2095).  Returns (mbc,)."""
-    s = _plane_blocks(src.astype(np.float32), size)
-    r = _plane_blocks(rec.astype(np.float32), size)
-    m1 = s.mean(axis=(2, 3))
-    m2 = r.mean(axis=(2, 3))
-    d1 = ((s - m1[..., None, None]) ** 2).mean(axis=(2, 3))
-    d2 = ((r - m2[..., None, None]) ** 2).mean(axis=(2, 3))
-    c = ((s - m1[..., None, None]) * (r - m2[..., None, None])).mean(axis=(2, 3))
-    ssim = ((2 * m1 * m2 + SSIM_C1) * (2 * c + SSIM_C2)) / \
-           ((m1 * m1 + m2 * m2 + SSIM_C1) * (d1 + d2 + SSIM_C2))
-    dc = np.abs(m1 - m2)
-    ssim = ssim - np.where(dc > 4, dc * 0.02, 0.0)
-    return ssim.reshape(-1)
-
-
-def mb_ssim(y, ry, u, ru, v, rv) -> np.ndarray:
-    return (_ssim_plane_mb(y, ry, 16) + _ssim_plane_mb(u, ru, 8)
-            + _ssim_plane_mb(v, rv, 8)) / 3.0
 
 
 def _quarter_map_luma(mbw):
@@ -228,16 +194,18 @@ def encode_inter_frame(enc, y, u, v, seg: SegmentData, is_golden: bool,
     pred_v_b = _mb_blocks_chroma(pred_v, mbw, mbh)
 
     # progressive per-segment requantization LQ -> UQ
-    ssim_target = cfg.ssim_target
+    ssim_on = cfg.ssim_target > 0.0
+    tfx3 = target_fx(cfg.ssim_target) if ssim_on else -1
     levels = np.zeros((mbc, 25, 16), dtype=np.int16)
     segment_ids = np.full(mbc, LQ_SEGMENT, dtype=np.int32)
-    cur_ssim = np.full(mbc, -2.0, dtype=np.float64)
+    cur_fx = np.full(mbc, UNCODED_FX, dtype=np.int32)
     rec_y_b = np.zeros_like(pred_y_b)
     rec_u_b = np.zeros_like(pred_u_b)
     rec_v_b = np.zeros_like(pred_v_b)
 
-    for sid in range(LQ_SEGMENT, -1, -1):
-        active = cur_ssim <= ssim_target
+    n_passes = 4 if ssim_on else 1       # single LQ pass when SSIM is off
+    for sid in range(LQ_SEGMENT, LQ_SEGMENT - n_passes, -1):
+        active = cur_fx <= tfx3
         if not np.any(active):
             break
         lz, y2z, rr = transform_mb_luma(
@@ -259,8 +227,8 @@ def encode_inter_frame(enc, y, u, v, seg: SegmentData, is_golden: bool,
         ry = _luma_from_mb_blocks(rec_y_b, mbw, mbh)
         ru = _chroma_from_mb_blocks(rec_u_b, mbw, mbh)
         rv = _chroma_from_mb_blocks(rec_v_b, mbw, mbh)
-        new_ssim = mb_ssim(y, ry, u, ru, v, rv)
-        cur_ssim = np.where(am, new_ssim, cur_ssim)
+        new_fx = mb_ssim_fx(y, ry, u, ru, v, rv)
+        cur_fx = np.where(am, new_fx, cur_fx)
 
     recon_y = _luma_from_mb_blocks(rec_y_b, mbw, mbh).astype(np.uint8)
     recon_u = _chroma_from_mb_blocks(rec_u_b, mbw, mbh).astype(np.uint8)
@@ -271,71 +239,107 @@ def encode_inter_frame(enc, y, u, v, seg: SegmentData, is_golden: bool,
     replaced = 0
 
     # SSIM quality controller: try failing MBs as intra (AQ -> HQ -> UQ)
-    if 0.0 < ssim_target:
+    if ssim_on:
         replaced = _intra_replace(enc, y, u, v, recon_y, recon_u, recon_v,
                                   levels, modes, parts, segment_ids,
-                                  cur_ssim, is_inter, seg, ssim_target)
+                                  cur_fx, is_inter, seg, tfx3)
     # weaken the loop filter on near-perfect frames (check_SSIM,
     # vp8enc.cpp:260-261) — runs regardless of the SSIM target
-    if float(cur_ssim.min()) > 0.95:
+    if int(cur_fx.min()) > WEAKEN_FX:
         from vp8oclenc_tpu.pipeline.segments import prepare_segments
         seg2 = prepare_segments(cfg, y, False, is_altref, weaken_filter=True,
                                 strength=seg.raw_strength)
         seg.__dict__.update(seg2.__dict__)
-    if 0.0 < ssim_target:
-        avg = float(cur_ssim.mean())
-        if replaced > mbc // 6 or avg < ssim_target:
-            if avg < ssim_target:
+    if ssim_on:
+        sum_fx = int(np.maximum(cur_fx, -98304).astype(np.int64).sum())
+        if replaced > mbc // 6 or sum_fx < tfx3 * mbc:
+            if sum_fx < tfx3 * mbc:
                 enc.stats.scene_changes_by_ssim += 1
             else:
                 enc.stats.scene_changes_by_replaced += 1
             return None
 
     enc.recon = [recon_y, recon_u, recon_v]
-    return FrameData(
+    fd = FrameData(
         mbw=mbw, mbh=mbh, is_key=False, is_golden=is_golden,
         is_altref=is_altref, levels=levels, parts=parts,
         segment_ids=segment_ids, modes=modes, is_inter=is_inter,
         ref_frame=ref_sel.astype(np.int32), mvs=mvs, replaced=replaced)
+    fd.ssim_min_fx = int(cur_fx.min())
+    fd.ssim_sum_fx = int(np.maximum(cur_fx, -98304).astype(np.int64).sum())
+    return fd
 
 
 def _intra_replace(enc, y, u, v, recon_y, recon_u, recon_v, levels, modes,
-                   parts, segment_ids, cur_ssim, is_inter, seg,
-                   ssim_target) -> int:
-    """test_inter_on_intra over failing MBs, AQ -> HQ -> UQ, raster order
-    (intra_part.h:855-1087; vp8enc.cpp:242-251)."""
+                   parts, segment_ids, cur_fx, is_inter, seg, tfx3) -> int:
+    """test_inter_on_intra over failing MBs, AQ -> HQ -> UQ
+    (intra_part.h:855-1087; vp8enc.cpp:242-251), re-specified for batch
+    parallelism: every trial predicts from the FROZEN pre-replacement
+    reconstruction (the reference re-reads the evolving recon in raster
+    order), and a winner is applied only when none of the four neighbor MBs
+    feeding its intra prediction (left, above-left, above, above-right —
+    all earlier in raster order) is itself a winner.  That suppression rule
+    guarantees every applied MB's predictor pixels equal the decoder's
+    state, so recon stays bit-exact, while all trials are independent —
+    the TPU backend runs them as one batched kernel."""
     mbw, mbh, mbc = enc.mbw, enc.mbh, enc.mbc
-    replaced = 0
+
+    # pass 1: frozen-neighbor trials (scratch-restore keeps recon unchanged)
+    win = np.zeros(mbc, dtype=bool)
+    results = {}
     for mbn in range(mbc):
-        if cur_ssim[mbn] > ssim_target:
+        if cur_fx[mbn] > tfx3:
             continue
         mby, mbx = divmod(mbn, mbw)
+        ys, xs = slice(mby * 16, mby * 16 + 16), slice(mbx * 16, mbx * 16 + 16)
+        yc, xc = slice(mby * 8, mby * 8 + 8), slice(mbx * 8, mbx * 8 + 8)
+        save = (recon_y[ys, xs].copy(), recon_u[yc, xc].copy(),
+                recon_v[yc, xc].copy())
+        cur = int(cur_fx[mbn])
+        best = None
         for sid in (2, 1, 0):   # AQ, HQ, UQ
-            if cur_ssim[mbn] > ssim_target:
+            if cur > tfx3:
                 break
-            ry2 = recon_y.copy()
-            ru2 = recon_u.copy()
-            rv2 = recon_v.copy()
             lv, md = SPEC_INTRA.encode_intra_mb(
-                y, u, v, ry2, ru2, rv2, mbx, mby, mbw,
+                y, u, v, recon_y, recon_u, recon_v, mbx, mby, mbw,
                 seg.y_dc_q[sid], seg.y_ac_q[sid],
                 seg.uv_dc_q[sid], seg.uv_ac_q[sid])
-            sy = ry2[mby * 16:mby * 16 + 16, mbx * 16:mbx * 16 + 16]
-            su = ru2[mby * 8:mby * 8 + 8, mbx * 8:mbx * 8 + 8]
-            sv = rv2[mby * 8:mby * 8 + 8, mbx * 8:mbx * 8 + 8]
-            oy = y[mby * 16:mby * 16 + 16, mbx * 16:mbx * 16 + 16]
-            ou = u[mby * 8:mby * 8 + 8, mbx * 8:mbx * 8 + 8]
-            ov = v[mby * 8:mby * 8 + 8, mbx * 8:mbx * 8 + 8]
-            test_ssim = float(mb_ssim(oy, sy, ou, su, ov, sv)[0])
-            if test_ssim > cur_ssim[mbn]:
-                cur_ssim[mbn] = test_ssim
-                levels[mbn] = lv
-                levels[mbn, 24] = 0
-                modes[mbn] = md
-                parts[mbn] = ARE4X4
-                segment_ids[mbn] = sid
-                is_inter[mbn] = False
-                recon_y[mby * 16:mby * 16 + 16, mbx * 16:mbx * 16 + 16] = sy
-                recon_u[mby * 8:mby * 8 + 8, mbx * 8:mbx * 8 + 8] = su
-                recon_v[mby * 8:mby * 8 + 8, mbx * 8:mbx * 8 + 8] = sv
-    return int(np.sum(~is_inter))
+            test = int(mb_ssim_fx_16x16(
+                y[ys, xs][None], recon_y[ys, xs][None],
+                u[yc, xc][None], recon_u[yc, xc][None],
+                v[yc, xc][None], recon_v[yc, xc][None])[0])
+            if test > cur:
+                cur = test
+                best = (sid, test, lv, md, recon_y[ys, xs].copy(),
+                        recon_u[yc, xc].copy(), recon_v[yc, xc].copy())
+            # restore the frozen recon for the next trial / next MB
+            recon_y[ys, xs], recon_u[yc, xc], recon_v[yc, xc] = save
+        if best is not None:
+            win[mbn] = True
+            results[mbn] = best
+
+    # pass 2: suppression + apply
+    replaced = 0
+    for mbn, (sid, test, lv, md, sy, su, sv) in results.items():
+        mby, mbx = divmod(mbn, mbw)
+        conflict = (
+            (mbx > 0 and win[mbn - 1])
+            or (mby > 0 and mbx > 0 and win[mbn - mbw - 1])
+            or (mby > 0 and win[mbn - mbw])
+            or (mby > 0 and mbx < mbw - 1 and win[mbn - mbw + 1]))
+        if conflict:
+            continue
+        cur_fx[mbn] = test
+        levels[mbn] = lv
+        levels[mbn, 24] = 0
+        modes[mbn] = md
+        parts[mbn] = ARE4X4
+        segment_ids[mbn] = sid
+        is_inter[mbn] = False
+        ys, xs = slice(mby * 16, mby * 16 + 16), slice(mbx * 16, mbx * 16 + 16)
+        yc, xc = slice(mby * 8, mby * 8 + 8), slice(mbx * 8, mbx * 8 + 8)
+        recon_y[ys, xs] = sy
+        recon_u[yc, xc] = su
+        recon_v[yc, xc] = sv
+        replaced += 1
+    return replaced
