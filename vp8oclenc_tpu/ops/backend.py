@@ -16,6 +16,30 @@ from vp8oclenc_tpu.config import EncoderConfig
 from vp8oclenc_tpu.tables import ALTREF, GOLDEN, LAST
 
 
+from functools import partial
+
+
+@partial(jax.jit, static_argnums=1)
+def _slice_bucket(body, size: int):
+    return jax.lax.slice_in_dim(body, 0, size, axis=0)
+
+
+def _fetch_prefix(body, n: int) -> np.ndarray:
+    """First n bytes of a device u8 vector in ONE transfer of the next
+    power-of-two bucket size (compiled once per bucket -- a direct body[:n]
+    would build a fresh XLA slice executable per distinct n, a per-frame
+    recompile through the tunnel costing ~500 ms)."""
+    if n <= 0:
+        return np.zeros(0, np.uint8)
+    total = body.shape[0]
+    size = 1 << 14
+    while size < n:
+        size <<= 1
+    if size >= total:
+        return np.asarray(body)[:n]
+    return np.asarray(_slice_bucket(body, size))[:n]
+
+
 class TPUBackend:
     def __init__(self, cfg: EncoderConfig, wrk_w: int, wrk_h: int) -> None:
         self.cfg = cfg
@@ -201,7 +225,7 @@ class TPUBackend:
             levels = np.asarray(levels_pack).astype(np.int16)
         else:
             n = info["n_active"] * 16
-            prefix = np.asarray(body[:n]) if n else np.zeros(0, np.uint8)
+            prefix = _fetch_prefix(body, n)
             levels = unpack_levels(info, prefix, mbc)
         fd.levels = levels
         fd.segment_ids = info["seg"]
