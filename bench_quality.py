@@ -1,0 +1,97 @@
+"""Quality benchmark: PSNR / SSIM vs bitrate over a quantizer sweep.
+
+The reference publishes no quality numbers (README.md:37), so per BASELINE.md
+the curve is self-established: encode a synthetic textured pan and a
+noise-structured sequence at several quantizer indices, for an intra-only
+config and for the full feature set (3 refs + segments + SSIM target), and
+report (qi, kbps, PSNR, SSIM) rows.  The decoder oracle validates every
+stream; quality is measured decoder-side (decode == recon is asserted).
+
+Usage: python bench_quality.py [--backend spec|tpu] [--frames N] [--size WxH]
+Writes bench_quality.json and prints one JSON line with the curve.
+"""
+import argparse
+import json
+import sys
+
+import numpy as np
+
+
+def synth_sequence(w, h, n, seed=0):
+    from vp8oclenc_tpu.io.y4m import Frame
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h + 64, 0:w + 64]
+    base = (128 + 60 * np.sin(xx / 37.0) * np.cos(yy / 29.0)
+            + 40 * np.sin((xx + yy) / 11.0))
+    base = (base + rng.integers(0, 24, base.shape)).clip(0, 255).astype(np.uint8)
+    frames = []
+    for t in range(n):
+        ox, oy = 3 * t, 2 * t
+        y = np.ascontiguousarray(base[oy:oy + h, ox:ox + w])
+        u = np.ascontiguousarray(base[oy // 2:oy // 2 + h // 2,
+                                      ox // 2:ox // 2 + w // 2] // 2 + 60)
+        v = np.ascontiguousarray(base[oy // 2 + 8:oy // 2 + 8 + h // 2,
+                                      ox // 2 + 4:ox // 2 + 4 + w // 2] // 2 + 50)
+        frames.append(Frame(y, u, v))
+    return frames
+
+
+def run_config(name, cfg_kwargs, frames, w, h, backend, fps=30):
+    from vp8oclenc_tpu.config import EncoderConfig
+    from vp8oclenc_tpu.pipeline.encoder import Encoder
+    from vp8oclenc_tpu.decoder.vp8dec import VP8Decoder
+    from vp8oclenc_tpu.utils.metrics import frame_psnr, ssim_plane
+
+    enc = Encoder(EncoderConfig(**cfg_kwargs), w, h, backend=backend)
+    dec = VP8Decoder()
+    total = 0
+    psnrs, ssims = [], []
+    for f in frames:
+        payload = enc.encode_frame(f)
+        total += len(payload)
+        out = dec.decode_frame(payload)
+        ry, ru, rv = (np.asarray(p) for p in enc.recon)
+        assert np.array_equal(out.y, ry), f"{name}: decode != recon"
+        src = (f.y, f.u, f.v)
+        rec = (out.y[:h, :w], out.u[:h // 2, :w // 2], out.v[:h // 2, :w // 2])
+        psnrs.append(frame_psnr(src, rec)["all"])
+        ssims.append((ssim_plane(src[0], rec[0]) * 2
+                      + ssim_plane(src[1], rec[1])
+                      + ssim_plane(src[2], rec[2])) / 4)
+    kbps = total * 8 * fps / len(frames) / 1000.0
+    return {"config": name, "kbps": round(kbps, 1),
+            "psnr": round(float(np.mean(psnrs)), 3),
+            "ssim": round(float(np.mean(ssims)), 4), **cfg_kwargs}
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--backend", default="tpu", choices=["spec", "tpu"])
+    ap.add_argument("--frames", type=int, default=8)
+    ap.add_argument("--size", default="352x288")
+    args = ap.parse_args(argv)
+    w, h = (int(x) for x in args.size.split("x"))
+    frames = synth_sequence(w, h, args.frames)
+
+    rows = []
+    for qi in (8, 20, 36, 56, 80, 104):
+        rows.append(run_config(
+            f"intra_qi{qi}", dict(qi_min=qi, qi_max=qi, gop_size=1),
+            frames, w, h, args.backend))
+    for qi_min, qi_max in ((4, 24), (12, 40), (24, 63), (40, 100)):
+        rows.append(run_config(
+            f"full_q{qi_min}-{qi_max}",
+            dict(qi_min=qi_min, qi_max=qi_max, gop_size=100,
+                 altref_range=5, ssim_target=0.93),
+            frames, w, h, args.backend))
+
+    out = {"metric": "quality_curve", "size": args.size,
+           "frames": args.frames, "backend": args.backend, "rows": rows}
+    with open("bench_quality.json", "w") as fh:
+        json.dump(out, fh, indent=1)
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

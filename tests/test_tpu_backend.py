@@ -36,3 +36,45 @@ def test_tpu_stream_decodes_bit_exact():
         assert np.array_equal(out.y, enc.recon[0]), f"frame {t} luma"
         assert np.array_equal(out.u, enc.recon[1]), f"frame {t} u"
         assert np.array_equal(out.v, enc.recon[2]), f"frame {t} v"
+
+
+def test_dct_cost_matmul_exact():
+    """The MXU cost matmul at DEFAULT precision must reproduce the int64
+    oracle bit-for-bit (inputs/table are bf16-exact integers; all f32
+    intermediates < 2^24 — see ops/transforms.dct_cost)."""
+    import jax.numpy as jnp
+    from vp8oclenc_tpu.ops import transforms as OT
+    from vp8oclenc_tpu.spec import transforms as ST
+
+    rng = np.random.default_rng(7)
+    x = rng.integers(-255, 256, size=(4096, 16), dtype=np.int64)
+    # adversarial extremes: all +-255 sign patterns on a few rows
+    x[:64] = 255 * np.where(
+        rng.integers(0, 2, size=(64, 16)) > 0, 1, -1)
+    want = ST.dct_cost(x)
+    got = np.asarray(OT.dct_cost(jnp.asarray(x, jnp.int32)))
+    assert np.array_equal(want, got)
+
+
+def test_backends_identical_streams_ssim_on():
+    """Full SSIM controller (progressive segments + batched on-device intra
+    replacement) must match the spec oracle byte-for-byte, and the stream
+    must still decode bit-exact."""
+    w, h = 96, 80
+    frames = moving_sequence(w, h, 5, seed=11)
+    cfg = dict(qi_min=4, qi_max=60, gop_size=100, ssim_target=0.9,
+               altref_range=100)
+    enc_s = Encoder(EncoderConfig(**cfg), w, h, backend="spec")
+    enc_t = Encoder(EncoderConfig(**cfg), w, h, backend="tpu")
+    dec = VP8Decoder()
+    total_replaced = 0
+    for t, f in enumerate(frames):
+        ps = enc_s.encode_frame(f)
+        pt = enc_t.encode_frame(f)
+        assert ps == pt, (
+            f"frame {t}: stream bytes differ (spec {len(ps)}B, tpu {len(pt)}B)")
+        out = dec.decode_frame(pt)
+        assert np.array_equal(out.y, enc_t.recon[0]), f"frame {t} luma"
+        total_replaced += enc_s.stats.scene_changes_by_replaced
+    # the sequences should exercise the segment ladder; replacement count
+    # parity is implied by byte equality of the streams

@@ -5,10 +5,10 @@ from vp8oclenc_tpu.ops.wire import (body_capacity, head_size, pack_wire,
                                     unpack_head, unpack_levels)
 
 
-def _pack(levels, meta, ssim):
+def _pack(levels, meta, ssim, replaced=0):
     import jax.numpy as jnp
-    head, body = pack_wire(jnp.asarray(levels), jnp.asarray(meta),
-                           jnp.asarray(ssim))
+    head, body, stats = pack_wire(jnp.asarray(levels), jnp.asarray(meta),
+                                  jnp.asarray(ssim), replaced)
     return np.asarray(head), np.asarray(body)
 
 
@@ -32,11 +32,12 @@ def test_wire_roundtrip():
     ).astype(np.int32)
     ssim = rng.integers(-98304, 98304, mbc).astype(np.int32)  # Q15 fx
 
-    head, body = _pack(levels, meta, ssim)
+    head, body = _pack(levels, meta, ssim, replaced=7)
     assert head.size == head_size(mbc)
     assert body.size == body_capacity(mbc)
 
     info = unpack_head(head, mbc)
+    assert info["replaced"] == 7
     assert not info["esc_overflow"]
     n_expected = int(np.any(levels != 0, axis=2).sum())
     assert info["n_active"] == n_expected

@@ -32,7 +32,7 @@ def main():
         t0 = time.monotonic()
         fd, seg = enc._frame_pixels(f)
         # _frame_pixels returns as soon as kernels are dispatched; block now
-        head, body, levels_pack = fd.device_outputs
+        head, body, levels_pack = fd.device_outputs[:3]
         t1 = time.monotonic()
         jax.block_until_ready(levels_pack)
         jax.block_until_ready(enc.tpu.last[0])

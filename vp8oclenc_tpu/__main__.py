@@ -65,7 +65,16 @@ def main(argv=None) -> int:
             if cfg.print_info:
                 fps = info.framerate
                 br = total_bytes * fps * 8 // (n + 1) // 1024
-                print(f"{n}> br={br}k, frame~{(len(payload) + 512) // 1024}k")
+                line = f"{n}> br={br}k, frame~{(len(payload) + 512) // 1024}k"
+                fs = enc.last_frame_stats
+                if fs and fs["ssim_sum_fx"] is not None:
+                    # reference per-frame quality line (vp8enc.cpp:258-259)
+                    from vp8oclenc_tpu.ssim_fx import fx_to_float
+                    avg = fx_to_float(fs["ssim_sum_fx"] / enc.mbc)
+                    mn = fx_to_float(fs["ssim_min_fx"])
+                    line += (f" avg_SSIM={avg:.4f} min_SSIM={mn:.4f}"
+                             f" blocks_replaced={fs['replaced']}")
+                print(line)
         writer.finalize()
         dt = time.monotonic() - t0
         print(f"encoded {writer.frame_count} frames in {dt:.2f}s "

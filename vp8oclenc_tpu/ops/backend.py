@@ -86,10 +86,18 @@ class TPUBackend:
 
     # -------------------------------------------------- inter
     def encode_inter_frame(self, enc, y, u, v, seg, is_golden, is_altref):
+        """One fused device chain: pixel kernel (with the batched SSIM
+        intra-replacement when -SSIM-target is on) -> loop filter -> wire
+        pack.  Host-bound data leaves as a small head (async) + the body's
+        used prefix (lazy); with SSIM on, a 12-byte stats read drives the
+        redo-as-key decision (check_SSIM, vp8enc.cpp:443-453) — the old
+        reference frame state is only replaced after that check passes."""
         from vp8oclenc_tpu.ops.inter import build_inter_kernel
+        from vp8oclenc_tpu.ops.loopfilter import build_filter_from_meta_kernel
+        from vp8oclenc_tpu.ops.wire import build_wire_kernel
         from vp8oclenc_tpu.pipeline.encoder import FrameData
-        from vp8oclenc_tpu.tables import ARE4X4
-        from vp8oclenc_tpu.spec.inter import _intra_replace
+        from vp8oclenc_tpu.pipeline.segments import prepare_segments
+        from vp8oclenc_tpu.ssim_fx import target_fx
 
         cfg = self.cfg
         mbc = self.mbc
@@ -104,119 +112,83 @@ class TPUBackend:
             if (use_altref and self.altref_state is not None) else ls
         ref_valid = np.array([True, use_golden, use_altref])
 
-        from vp8oclenc_tpu.ssim_fx import WEAKEN_FX, target_fx
         ssim_on = cfg.ssim_target > 0.0
         tfx3 = target_fx(cfg.ssim_target) if ssim_on else -1
         kern = build_inter_kernel(self.wrk_w, self.wrk_h, ssim_enabled=ssim_on)
         # one H2D transfer for the whole frame (the tunnel charges a fixed
         # latency per transfer; three plane uploads would pay it three times)
         yuv = jnp.asarray(np.concatenate([y.ravel(), u.ravel(), v.ravel()]))
-        levels_pack, meta, cur_ssim, ry, ru, rv = kern.yuv(
-            yuv,
-            (ls[0], gs[0], als[0]), (ls[1], gs[1], als[1]),
-            (ls[2], gs[2], als[2]), jnp.asarray(ref_valid),
-            jnp.asarray(seg.y_dc_q.astype(np.int32)),
-            jnp.asarray(seg.y_ac_q.astype(np.int32)),
-            jnp.asarray(seg.y2_dc_q.astype(np.int32)),
-            jnp.asarray(seg.y2_ac_q.astype(np.int32)),
-            jnp.asarray(seg.uv_dc_q.astype(np.int32)),
-            jnp.asarray(seg.uv_ac_q.astype(np.int32)),
-            jnp.int32(tfx3))
-        if ssim_on:
-            self.pending = (ry, ru, rv)
-            self.filtered = False
-        else:
-            # chain the loop filter asynchronously on device outputs; the
-            # host reads levels/meta while it runs
-            from vp8oclenc_tpu.ops.loopfilter import build_filter_from_meta_kernel
-            from vp8oclenc_tpu.pipeline.segments import prepare_segments
-            weak = prepare_segments(cfg, y, False, is_altref,
-                                    weaken_filter=True,
-                                    strength=seg.raw_strength)
-            lf = np.stack([
-                np.stack([s_.loop_filter_level, s_.mbedge_limit,
-                          s_.sub_bedge_limit, s_.interior_limit,
-                          s_.hev_threshold]) for s_ in (seg, weak)
-            ]).astype(np.int32)
-            fkern = build_filter_from_meta_kernel(self.mbw, self.mbh)
-            self._set_last(fkern(ry, ru, rv, levels_pack, meta, cur_ssim,
-                                 jnp.asarray(lf)))
-            self.pending = None
-            self.filtered = True
+        levels_pack, meta, cur_ssim, ry, ru, rv, modes4, replaced_dev = \
+            kern.yuv(
+                yuv,
+                (ls[0], gs[0], als[0]), (ls[1], gs[1], als[1]),
+                (ls[2], gs[2], als[2]), jnp.asarray(ref_valid),
+                jnp.asarray(seg.y_dc_q.astype(np.int32)),
+                jnp.asarray(seg.y_ac_q.astype(np.int32)),
+                jnp.asarray(seg.y2_dc_q.astype(np.int32)),
+                jnp.asarray(seg.y2_ac_q.astype(np.int32)),
+                jnp.asarray(seg.uv_dc_q.astype(np.int32)),
+                jnp.asarray(seg.uv_ac_q.astype(np.int32)),
+                jnp.int32(tfx3))
 
-        if not ssim_on:
-            # serialize all host-bound data into a small fixed head + a
-            # compacted body; start the head D2H now, fetch only the body's
-            # used prefix lazily (finalize_framedata)
-            from vp8oclenc_tpu.ops.wire import build_wire_kernel
-            head, body = build_wire_kernel(mbc)(levels_pack, meta, cur_ssim)
-            try:
-                head.copy_to_host_async()
-            except AttributeError:
-                pass
-            fd = FrameData(
-                mbw=self.mbw, mbh=self.mbh, is_key=False, is_golden=is_golden,
-                is_altref=is_altref, levels=None, parts=None, segment_ids=None,
-                modes=np.zeros((mbc, 16), dtype=np.int8),
-                is_inter=np.ones(mbc, dtype=bool), ref_frame=None, mvs=None,
-                replaced=0)
-            fd.device_outputs = (head, body, levels_pack)
-            fd.weak_seg = weak
-            enc.recon = PendingRecon(self)
-            return fd
+        # chain the loop filter asynchronously on device outputs; the host
+        # reads levels/meta while it runs (weakened limits selected
+        # on-device from min SSIM)
+        weak = prepare_segments(cfg, y, False, is_altref, weaken_filter=True,
+                                strength=seg.raw_strength)
+        lf = np.stack([
+            np.stack([s_.loop_filter_level, s_.mbedge_limit,
+                      s_.sub_bedge_limit, s_.interior_limit,
+                      s_.hev_threshold]) for s_ in (seg, weak)
+        ]).astype(np.int32)
+        fkern = build_filter_from_meta_kernel(self.mbw, self.mbh)
+        filtered = fkern(ry, ru, rv, levels_pack, meta, cur_ssim,
+                         jnp.asarray(lf))
 
-        levels = np.asarray(levels_pack)
-        meta = np.asarray(meta)
-        cur_fx = np.asarray(cur_ssim).astype(np.int32)
-        segment_ids = meta[:, 0].copy()
-        parts = meta[:, 1].copy()
-        ref_map = np.array([LAST, GOLDEN, ALTREF])
-        ref_frame = ref_map[meta[:, 2]]
-        mvs = meta[:, 3:11].reshape(mbc, 4, 2).astype(np.int16)
-        is_inter = np.ones(mbc, dtype=bool)
-        modes = np.zeros((mbc, 16), dtype=np.int8)
+        # serialize all host-bound data into a small fixed head + a
+        # compacted body; start the head D2H now, fetch only the body's
+        # used prefix lazily (finalize_framedata)
+        head, body, stats = build_wire_kernel(mbc)(
+            levels_pack, meta, cur_ssim, replaced_dev)
+        try:
+            head.copy_to_host_async()
+        except AttributeError:
+            pass
 
         replaced = 0
         if ssim_on:
-            recon_y, recon_u, recon_v = (np.asarray(p).copy() for p in self.pending)
-            levels = np.ascontiguousarray(levels)
-            replaced = _intra_replace(enc, y, u, v, recon_y, recon_u, recon_v,
-                                      levels, modes, parts, segment_ids,
-                                      cur_fx, is_inter, seg, tfx3)
-            if replaced:
-                self.pending = (jnp.asarray(recon_y), jnp.asarray(recon_u),
-                                jnp.asarray(recon_v))
-        if int(cur_fx.min()) > WEAKEN_FX:
-            from vp8oclenc_tpu.pipeline.segments import prepare_segments
-            seg2 = prepare_segments(cfg, y, False, is_altref,
-                                    weaken_filter=True,
-                                    strength=seg.raw_strength)
-            seg.__dict__.update(seg2.__dict__)
-        if ssim_on:
-            sum_fx = int(np.maximum(cur_fx, -98304).astype(np.int64).sum())
+            st = np.asarray(stats)          # 12 B; waits for the chain
+            replaced = int(st[0])
+            sum_fx = int(st[2])
             if replaced > mbc // 6 or sum_fx < tfx3 * mbc:
                 if sum_fx < tfx3 * mbc:
                     enc.stats.scene_changes_by_ssim += 1
                 else:
                     enc.stats.scene_changes_by_replaced += 1
-                return None
+                return None                 # refs/pyramids untouched
 
-        enc.recon = PendingRecon(self)
+        self._set_last(filtered)
+        self.pending = None
+        self.filtered = True
         fd = FrameData(
             mbw=self.mbw, mbh=self.mbh, is_key=False, is_golden=is_golden,
-            is_altref=is_altref, levels=levels.astype(np.int16), parts=parts,
-            segment_ids=segment_ids, modes=modes, is_inter=is_inter,
-            ref_frame=ref_frame.astype(np.int32), mvs=mvs, replaced=replaced)
-        fd.ssim_min_fx = int(cur_fx.min())
-        fd.ssim_sum_fx = int(np.maximum(cur_fx, -98304).astype(np.int64).sum())
+            is_altref=is_altref, levels=None, parts=None, segment_ids=None,
+            modes=np.zeros((mbc, 16), dtype=np.int8),
+            is_inter=np.ones(mbc, dtype=bool), ref_frame=None, mvs=None,
+            replaced=replaced)
+        fd.device_outputs = (head, body, levels_pack, modes4)
+        fd.weak_seg = weak
+        enc.recon = PendingRecon(self)
         return fd
 
     def finalize_framedata(self, fd, seg) -> None:
         """Materialize a lazily-returned inter FrameData (fused path)."""
         if getattr(fd, "device_outputs", None) is None:
             return
-        from vp8oclenc_tpu.ops.wire import unpack_head, unpack_levels
-        head, body, levels_pack = fd.device_outputs
+        from vp8oclenc_tpu.ops.wire import (unpack_head, unpack_levels,
+                                            unpack_modes4)
+        from vp8oclenc_tpu.tables import ARE4X4
+        head, body, levels_pack, modes4 = fd.device_outputs
         fd.device_outputs = None
         mbc = self.mbc
         info = unpack_head(np.asarray(head), mbc)
@@ -230,6 +202,10 @@ class TPUBackend:
         fd.levels = levels
         fd.segment_ids = info["seg"]
         fd.parts = info["part"]
+        fd.is_inter = info["part"] != ARE4X4
+        fd.replaced = info["replaced"]
+        if info["replaced"]:
+            fd.modes = unpack_modes4(np.asarray(modes4), mbc)
         ref_map = np.array([LAST, GOLDEN, ALTREF])
         fd.ref_frame = ref_map[info["ref"]].astype(np.int32)
         fd.mvs = info["mvs"]

@@ -158,11 +158,19 @@ def _plane_blocks8(plane):
     return b.reshape(*lead, nby * nbx, 8, 8).astype(jnp.int32)
 
 
-def search_level(cur, ref_pad, pads, src_vec, pixel_rate: int, penalty: bool):
+def search_level(cur, ref_pad, pads, src_vec, pixel_rate: int, penalty: bool,
+                 row0=0, full_h: int = 0):
     """cur (H, W) unpadded; ref_pad (R, PH, PW) padded; pads = (pad_y, pad_x).
     src_vec (R, nbyc, nbxc, 2) or None.  Returns (R, nby, nbx, 2) vectors
-    in full-res pixel units."""
+    in full-res pixel units.
+
+    row0/full_h support row-sharded (tile-parallel) operation: cur is the
+    shard starting at global row `row0` of a `full_h`-tall frame and ref_pad
+    carries halo rows; candidate validity is checked against the FULL frame
+    bounds so shard results equal the single-chip kernel's."""
     H, W = cur.shape
+    if not full_h:
+        full_h = H
     R = ref_pad.shape[0]
     py0, px0 = pads
     nbx, nby = W // 8, H // 8
@@ -191,7 +199,8 @@ def search_level(cur, ref_pad, pads, src_vec, pixel_rate: int, penalty: bool):
             cost = cost + (jnp.abs(px - cx[None] - v0x)
                            + jnp.abs(py - cy[None] - v0y)) \
                 * (VECTOR_DIFF_WEIGHT // 2)
-        invalid = (px < 0) | (px > W - 8) | (py < 0) | (py > H - 8)
+        gy = py + row0
+        invalid = (px < 0) | (px > W - 8) | (gy < 0) | (gy > full_h - 8)
         cost = jnp.where(invalid, BIG, cost).astype(jnp.int32)
         better = cost < best_cost
         best_x = jnp.where(better, px, best_x)
@@ -576,6 +585,40 @@ def _cachehook_build_inter_kernel(wrk_w: int, wrk_h: int, ssim_enabled: bool = T
         recon_u = _chroma_from_mb_blocks(rec_u_b, mbw, mbh).astype(jnp.uint8)
         recon_v = _chroma_from_mb_blocks(rec_v_b, mbw, mbh).astype(jnp.uint8)
 
+        replaced = jnp.int32(0)
+        modes4 = jnp.zeros((mbc * 8,), jnp.uint8)
+        if ssim_enabled:
+            # batched SSIM intra replacement (spec/inter.py:_intra_replace;
+            # reference test_inter_on_intra, intra_part.h:855-1087) fused
+            # into the same device program
+            from vp8oclenc_tpu.ops.intra_replace import (
+                intra_replace_device, mb_patches_to_chroma_blocks,
+                mb_patches_to_luma_blocks)
+            from vp8oclenc_tpu.tables import ARE4X4
+            (applied, b_sid, b_modes, b_lv_y, b_lv_u, b_lv_v,
+             b_ry, b_ru, b_rv, cur_ssim) = intra_replace_device(
+                y, u, v, recon_y, recon_u, recon_v, cur_ssim,
+                seg_y_dc, seg_y_ac, seg_uv_dc, seg_uv_ac, ssim_target,
+                mbw, mbh)
+            a1 = applied[:, None]
+            a2 = applied[:, None, None]
+            a3 = applied[:, None, None, None]
+            seg_ids = jnp.where(applied, b_sid, seg_ids)
+            parts = jnp.where(applied, ARE4X4, parts)
+            levels_y = jnp.where(a2, b_lv_y, levels_y.reshape(mbc, 16, 16))
+            levels_y2 = jnp.where(a1, 0, levels_y2)
+            levels_u = jnp.where(a2, b_lv_u, levels_u)
+            levels_v = jnp.where(a2, b_lv_v, levels_v)
+            rec_y_b = jnp.where(a3, mb_patches_to_luma_blocks(b_ry), rec_y_b)
+            rec_u_b = jnp.where(a3, mb_patches_to_chroma_blocks(b_ru), rec_u_b)
+            rec_v_b = jnp.where(a3, mb_patches_to_chroma_blocks(b_rv), rec_v_b)
+            recon_y = _luma_from_mb_blocks(rec_y_b, mbw, mbh).astype(jnp.uint8)
+            recon_u = _chroma_from_mb_blocks(rec_u_b, mbw, mbh).astype(jnp.uint8)
+            recon_v = _chroma_from_mb_blocks(rec_v_b, mbw, mbh).astype(jnp.uint8)
+            replaced = applied.sum().astype(jnp.int32)
+            md = jnp.where(a1, b_modes, 0).astype(jnp.uint8).reshape(mbc, 8, 2)
+            modes4 = (md[:, :, 0] | (md[:, :, 1] << 4)).reshape(-1)
+
         # pack host-bound outputs into few arrays (each D2H transfer through
         # the tunnel pays fixed latency)
         levels_pack = jnp.concatenate(
@@ -585,7 +628,8 @@ def _cachehook_build_inter_kernel(wrk_w: int, wrk_h: int, ssim_enabled: bool = T
             [seg_ids[:, None], parts[:, None], ref_sel[:, None],
              mvs.reshape(mbc, 8)], axis=1).astype(jnp.int32)
 
-        return levels_pack, meta, cur_ssim, recon_y, recon_u, recon_v
+        return (levels_pack, meta, cur_ssim, recon_y, recon_u, recon_v,
+                modes4, replaced)
 
     def kernel(y, u, v, refs_y, refs_u, refs_v, ref_valid,
                seg_y_dc, seg_y_ac, seg_y2_dc, seg_y2_ac, seg_uv_dc, seg_uv_ac,

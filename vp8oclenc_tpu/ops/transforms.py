@@ -129,9 +129,14 @@ _COST_M128, _COST_W128 = _cost_consts()
 
 def dct_cost(quads16):
     """ME/mode cost metric (spec/transforms.py:dct_cost, tables.COST_M16)
-    evaluated as one block-diagonal (N/8, 128) @ (128, 128) f32 matmul on
-    the MXU.  Every intermediate is an integer < 2^24, so HIGHEST-precision
-    f32 reproduces the int64 numpy oracle bit-exactly.
+    evaluated as one block-diagonal (N/8, 128) @ (128, 128) matmul on the
+    MXU at DEFAULT precision, which is still bit-exact against the int64
+    numpy oracle: residuals (|x| <= 255) and table entries (|m| <= 100) are
+    integers exactly representable in bf16, the MXU accumulates their exact
+    products in f32, per-coefficient sums are < 2^18, and the weighted total
+    is bounded by 255 * sum_k w_k * rowabssum_k = 13.9M < 2^24 — every f32
+    intermediate is an exactly-representable integer (verified by
+    tests/test_tpu_backend.py::test_dct_cost_matmul_exact).
 
     quads16: (..., 16) int32 row-major 4x4 residuals -> (...,) int32.
     """
@@ -144,8 +149,7 @@ def dct_cost(quads16):
         flat = jnp.concatenate(
             [flat, jnp.zeros((pad, 16), jnp.float32)], axis=0)
     x = flat.reshape(-1, 128)
-    c = jnp.abs(jnp.dot(x, jnp.asarray(_COST_M128),
-                        precision=jax.lax.Precision.HIGHEST))
+    c = jnp.abs(jnp.dot(x, jnp.asarray(_COST_M128)))
     s = (c.reshape(-1, 8, 16) * jnp.asarray(_COST_W128).reshape(8, 16)) \
         .sum(axis=-1)
     out = s.reshape(-1)[:n].astype(jnp.int32) >> COST_SHIFT

@@ -12,7 +12,8 @@ HEAD (fixed, ~31 B/MB):
   [4:8]    flags     i32   bit0: escape overflow somewhere (fallback needed)
   [8:12]   ssim_min  i32   per-frame Q15 SSIM aggregates (print-info + the
   [12:16]  ssim_sum  i32   weaken-filter rule, vp8enc.cpp:258, 247)
-  [16:+ceil(25*mbc/8)]     active-block bitmap (little-endian bits)
+  [16:20]  replaced  i32   SSIM-controller intra-replaced MB count
+  [20:+ceil(25*mbc/8)]     active-block bitmap (little-endian bits)
   [+mbc*20]                meta8: seg, part, ref, esc_ovf, mvs 8xi16
   [+mbc*4]                 esc_off: (mbc, 2) u16 dense-coord escape offsets
   [+mbc*4]                 esc_val: (mbc, 2) i16 escape values
@@ -20,6 +21,10 @@ HEAD (fixed, ~31 B/MB):
 BODY (device-resident until finalize):
   (25*mbc*16,) u8 — int8 levels of the active blocks compacted to the
   front in block order; the host fetches body[:n_active*16] only.
+
+STATS: (3,) i32 [replaced, ssim_min, ssim_sum] — the 12-byte sync read
+that drives the redo-as-key decision (check_SSIM, vp8enc.cpp:443-453)
+without waiting on the full head transfer.
 
 Escapes (|level| > 127, at most 2 per MB before the dense fallback kicks
 in) are patched on the host after reconstruction.
@@ -35,9 +40,10 @@ import numpy as np
 ESC_SLOTS = 2
 
 
-def pack_wire(levels_pack, meta, cur_ssim):
-    """Traceable: (mbc,25,16) int levels + (mbc,11) i32 meta + (mbc,) f32
-    -> (head u8 vector, body u8 vector)."""
+def pack_wire(levels_pack, meta, cur_ssim, replaced):
+    """Traceable: (mbc,25,16) int levels + (mbc,11) i32 meta + (mbc,) i32
+    Q15 SSIM + scalar i32 replaced-count
+    -> (head u8 vector, body u8 vector, stats (3,) i32)."""
     mbc = levels_pack.shape[0]
     nb = mbc * 25
     blocks = levels_pack.reshape(nb, 16).astype(jnp.int16)
@@ -83,19 +89,22 @@ def pack_wire(levels_pack, meta, cur_ssim):
 
     # sum clamps each MB at -1.0 (-Q3) so the int32 total cannot wrap even
     # on a pathological frame (DC penalties can push fx below -Q3)
+    ssim_min = cur_ssim.min().astype(jnp.int32)
+    ssim_sum = jnp.maximum(cur_ssim, -98304).sum().astype(jnp.int32)
+    replaced = jnp.asarray(replaced, jnp.int32)
     head = jnp.concatenate([
-        as_u8(n_active), as_u8(flags),
-        as_u8(cur_ssim.min().astype(jnp.int32)),
-        as_u8(jnp.maximum(cur_ssim, -98304).sum().astype(jnp.int32)),
+        as_u8(n_active), as_u8(flags), as_u8(ssim_min), as_u8(ssim_sum),
+        as_u8(replaced),
         bitmap, meta8.reshape(-1), as_u8(esc_off), as_u8(esc_val)])
-    return head, body
+    stats = jnp.stack([replaced, ssim_min, ssim_sum])
+    return head, body, stats
 
 
 @lru_cache(maxsize=8)
 def _cachehook_build_wire_kernel(mbc: int):
     @jax.jit
-    def kernel(levels_pack, meta, cur_ssim):
-        return pack_wire(levels_pack, meta, cur_ssim)
+    def kernel(levels_pack, meta, cur_ssim, replaced):
+        return pack_wire(levels_pack, meta, cur_ssim, replaced)
     return kernel
 
 
@@ -107,7 +116,7 @@ def build_wire_kernel(mbc: int):
 
 def head_size(mbc: int) -> int:
     nb = mbc * 25
-    return 16 + (-(-nb // 8)) + mbc * 20 + mbc * ESC_SLOTS * 4
+    return 20 + (-(-nb // 8)) + mbc * 20 + mbc * ESC_SLOTS * 4
 
 
 def body_capacity(mbc: int) -> int:
@@ -123,7 +132,8 @@ def unpack_head(head: np.ndarray, mbc: int) -> dict:
     flags = int(head[4:8].view("<i4")[0])
     ssim_min_fx = int(head[8:12].view("<i4")[0])
     ssim_sum_fx = int(head[12:16].view("<i4")[0])
-    o = 16
+    replaced = int(head[16:20].view("<i4")[0])
+    o = 20
     bitmap = head[o:o + nbm]
     o += nbm
     meta8 = head[o:o + mbc * 20].reshape(mbc, 20)
@@ -135,11 +145,21 @@ def unpack_head(head: np.ndarray, mbc: int) -> dict:
     active = np.unpackbits(bitmap, bitorder="little")[:nb].astype(bool)
     return dict(
         n_active=n_active, esc_overflow=bool(flags & 1),
-        ssim_min_fx=ssim_min_fx, ssim_sum_fx=ssim_sum_fx, active=active,
+        ssim_min_fx=ssim_min_fx, ssim_sum_fx=ssim_sum_fx, replaced=replaced,
+        active=active,
         seg=meta8[:, 0].astype(np.int32), part=meta8[:, 1].astype(np.int32),
         ref=meta8[:, 2].astype(np.int32), ovf=meta8[:, 3].copy(),
         mvs=np.ascontiguousarray(meta8[:, 4:20]).view("<i2").reshape(mbc, 4, 2),
         esc_off=esc_off, esc_val=esc_val)
+
+
+def unpack_modes4(modes4: np.ndarray, mbc: int) -> np.ndarray:
+    """numpy: (mbc*8,) u8 nibble-packed bmodes -> (mbc, 16) int8."""
+    m = np.ascontiguousarray(modes4, dtype=np.uint8).reshape(mbc, 8)
+    out = np.empty((mbc, 16), np.int8)
+    out[:, 0::2] = (m & 0x0F).astype(np.int8)
+    out[:, 1::2] = (m >> 4).astype(np.int8)
+    return out
 
 
 def unpack_levels(info: dict, body_prefix: np.ndarray, mbc: int) -> np.ndarray:

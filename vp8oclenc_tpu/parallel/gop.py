@@ -68,7 +68,8 @@ def build_multichip_step(mesh: Mesh, wrk_w: int, wrk_h: int):
         out = jax.vmap(per_frame, in_axes=(0, 0, 0, 0, 0, 0, 0, None, None))(
             yf, uf, vf, ryf, ruf, rvf,
             jnp.broadcast_to(ref_valid, (yf.shape[0], 3)), q, ssim_t)
-        levels_pack, meta, cur_ssim, recon_y, recon_u, recon_v = out
+        (levels_pack, meta, cur_ssim, recon_y, recon_u, recon_v,
+         _modes4, _replaced) = out
 
         # tile shard of the recon planes stays resident on this chip
         ti = jax.lax.axis_index("tile")

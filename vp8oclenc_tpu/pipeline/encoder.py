@@ -72,6 +72,7 @@ class Encoder:
         self.mbc = self.mbw * self.mbh
         self.backend = backend
         self.stats = EncoderStats()
+        self.last_frame_stats = None
         # frame state
         self.frame_number = 0
         self.frames_until_key = 1
@@ -197,6 +198,13 @@ class Encoder:
                     partitions.append(pack_bools(p, b))
 
         header = encode_frame_header(fd, seg, cfg, self.width, self.height)
+
+        # per-frame observability (reference -print-info SSIM line,
+        # vp8enc.cpp:258-259); consumed by __main__ after the yield
+        self.last_frame_stats = {
+            "is_key": fd.is_key, "replaced": fd.replaced,
+            "ssim_min_fx": getattr(fd, "ssim_min_fx", None),
+            "ssim_sum_fx": getattr(fd, "ssim_sum_fx", None)}
 
         out = bytearray(header)
         for part in partitions[:-1]:
