@@ -56,13 +56,38 @@ def test_dct_cost_matmul_exact():
     assert np.array_equal(want, got)
 
 
+def replacement_sequence(w, h, n, seed=7):
+    """Content engineered to fire the intra-replacement controller: a static
+    noise background (inter predicts it perfectly with a zero MV) plus
+    regions whose content is a FRESH smooth gradient every frame — inter
+    mispredicts them (old gradient vs new), the coarse quantizer cannot fix
+    the residual, and the intra B_PRED trial reconstructs the smooth ramp
+    with a higher SSIM.  Chroma is constant so the scene-change detector
+    (which only watches U/V, vp8enc.cpp:265-311) never forces a keyframe."""
+    from vp8oclenc_tpu.io.y4m import Frame
+    rng = np.random.default_rng(seed)
+    base = rng.integers(0, 255, (h, w)).astype(np.uint8)
+    u = np.full((h // 2, w // 2), 120, np.uint8)
+    v = np.full((h // 2, w // 2), 130, np.uint8)
+    yy, xx = np.mgrid[0:32, 0:32]
+    frames = []
+    for _ in range(n):
+        y = base.copy()
+        for (oy, ox) in ((16, 32), (48, 0), (32, 64)):
+            a, b = rng.uniform(-6, 6, 2)
+            g = (128 + a * (xx - 16) + b * (yy - 16)).clip(0, 255)
+            y[oy:oy + 32, ox:ox + 32] = g.astype(np.uint8)
+        frames.append(Frame(y, u.copy(), v.copy()))
+    return frames
+
+
 def test_backends_identical_streams_ssim_on():
     """Full SSIM controller (progressive segments + batched on-device intra
     replacement) must match the spec oracle byte-for-byte, and the stream
     must still decode bit-exact."""
     w, h = 96, 80
-    frames = moving_sequence(w, h, 5, seed=11)
-    cfg = dict(qi_min=4, qi_max=60, gop_size=100, ssim_target=0.9,
+    frames = replacement_sequence(w, h, 5, seed=7)
+    cfg = dict(qi_min=50, qi_max=112, gop_size=100, ssim_target=0.98,
                altref_range=100)
     enc_s = Encoder(EncoderConfig(**cfg), w, h, backend="spec")
     enc_t = Encoder(EncoderConfig(**cfg), w, h, backend="tpu")
@@ -75,6 +100,7 @@ def test_backends_identical_streams_ssim_on():
             f"frame {t}: stream bytes differ (spec {len(ps)}B, tpu {len(pt)}B)")
         out = dec.decode_frame(pt)
         assert np.array_equal(out.y, enc_t.recon[0]), f"frame {t} luma"
-        total_replaced += enc_s.stats.scene_changes_by_replaced
-    # the sequences should exercise the segment ladder; replacement count
-    # parity is implied by byte equality of the streams
+        total_replaced += enc_t.last_frame_stats["replaced"]
+    # the byte-equality above is only meaningful if the device replacement
+    # controller (ops/intra_replace.py) actually fired on this sequence
+    assert total_replaced > 0, "no MB was ever intra-replaced; test is vacuous"

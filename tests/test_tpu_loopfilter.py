@@ -57,3 +57,37 @@ def test_tpu_loopfilter_level_zero_segment():
     assert np.array_equal(ty, sy)
     assert np.array_equal(tu, su)
     assert np.array_equal(tv, sv)
+
+
+def test_tpu_loopfilter_keyframe_highq_regression():
+    """Regression for an XLA:CPU fusion miscompile (off-by-one pixels in the
+    sheared-wavefront filter, jit-on-CPU only; eager and TPU were correct).
+    Exact inputs that reproduced it: a qi=50 keyframe's intra recon filtered
+    with level 12 / interior 2 / hev 0.  Guarded by the optimization_barrier
+    in ops/loopfilter.filter_planes."""
+    from vp8oclenc_tpu.ops.loopfilter import loop_filter_frame_tpu
+    from vp8oclenc_tpu.spec import intra as SPEC_INTRA
+    from vp8oclenc_tpu.spec import loopfilter as LF
+    from vp8oclenc_tpu.entropy import tokens as TOK
+    from vp8oclenc_tpu.tables import ARE4X4, ARE16X16, INTRA_SEGMENT
+    from vp8oclenc_tpu.io.y4m import pad_frame
+    from tests.test_tpu_backend import replacement_sequence
+
+    w, h = 96, 80
+    f = pad_frame(replacement_sequence(w, h, 1, seed=7)[0])
+    cfg = EncoderConfig(qi_min=50, qi_max=112, ssim_target=0.98)
+    seg = prepare_segments(cfg, f.y, True, True)
+    lv, _modes, recon = SPEC_INTRA.encode_intra_frame(f.y, f.u, f.v, seg)
+    mbc = (w // 16) * (h // 16)
+    parts = np.full(mbc, ARE4X4, np.int32)
+    skip, _ = TOK.mb_skip_flags(lv, parts)
+    inner = (parts != ARE16X16) | (~skip)
+    seg_ids = np.full(mbc, INTRA_SEGMENT, np.int32)
+    sy, su, sv = (p.copy() for p in recon)
+    LF.loop_filter_frame(sy, su, sv, seg_ids, inner, seg)
+    ty, tu, tv = loop_filter_frame_tpu(recon[0], recon[1], recon[2],
+                                       seg_ids, inner, seg)
+    assert np.array_equal(ty, sy), \
+        f"luma: {np.sum(ty != sy)} px differ of {sy.size}"
+    assert np.array_equal(tu, su)
+    assert np.array_equal(tv, sv)

@@ -157,9 +157,10 @@ class TPUBackend:
 
         replaced = 0
         if ssim_on:
-            st = np.asarray(stats)          # 12 B; waits for the chain
+            from vp8oclenc_tpu.ops.wire import stats_sum_fx
+            st = np.asarray(stats)          # 16 B; waits for the chain
             replaced = int(st[0])
-            sum_fx = int(st[2])
+            sum_fx = stats_sum_fx(int(st[2]), int(st[3]), mbc)
             if replaced > mbc // 6 or sum_fx < tfx3 * mbc:
                 if sum_fx < tfx3 * mbc:
                     enc.stats.scene_changes_by_ssim += 1

@@ -154,6 +154,12 @@ def filter_planes(ry, ru, rv, seg_of_mb, inner_mask, levels, mbe, sbe, intr,
                                  t2(l_hev), jnp.tile(has_left, P),
                                  jnp.tile(has_top, P), jnp.tile(inner, P),
                                  jnp.tile(active, P), msize)
+            # XLA:CPU miscompiles the fusion of the edge-filter chain into
+            # the dynamic_update_slice consumers (off-by-one pixels vs the
+            # same graph run eagerly or on TPU; verified jax 0.9.0).  The
+            # barrier keeps the filtered window materialized before the
+            # updates; it is fusion-neutral on TPU.
+            win = jax.lax.optimization_barrier(win)
             win = win.reshape(P, mbh, S5, S5)
             S = jax.lax.dynamic_update_slice(S, win[:, :, 4:, :],
                                              (0, 0, 0, C - 4))

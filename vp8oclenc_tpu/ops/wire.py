@@ -11,9 +11,13 @@ HEAD (fixed, ~31 B/MB):
   [0:4]    n_active  i32   number of 4x4 blocks with any nonzero level
   [4:8]    flags     i32   bit0: escape overflow somewhere (fallback needed)
   [8:12]   ssim_min  i32   per-frame Q15 SSIM aggregates (print-info + the
-  [12:16]  ssim_sum  i32   weaken-filter rule, vp8enc.cpp:258, 247)
-  [16:20]  replaced  i32   SSIM-controller intra-replaced MB count
-  [20:+ceil(25*mbc/8)]     active-block bitmap (little-endian bits)
+  [12:16]  sum_hi    i32   weaken-filter rule, vp8enc.cpp:258, 247); the sum
+  [16:20]  sum_lo    i32   is carried as hi/lo 12-bit-split words of the
+                           biased per-MB score so it cannot wrap int32 even
+                           at 8K (mbc*98304 > 2^31 for mbc > 21845):
+                           sum_fx = (hi<<12) + lo - 98304*mbc
+  [20:24]  replaced  i32   SSIM-controller intra-replaced MB count
+  [24:+ceil(25*mbc/8)]     active-block bitmap (little-endian bits)
   [+mbc*20]                meta8: seg, part, ref, esc_ovf, mvs 8xi16
   [+mbc*4]                 esc_off: (mbc, 2) u16 dense-coord escape offsets
   [+mbc*4]                 esc_val: (mbc, 2) i16 escape values
@@ -22,8 +26,8 @@ BODY (device-resident until finalize):
   (25*mbc*16,) u8 — int8 levels of the active blocks compacted to the
   front in block order; the host fetches body[:n_active*16] only.
 
-STATS: (3,) i32 [replaced, ssim_min, ssim_sum] — the 12-byte sync read
-that drives the redo-as-key decision (check_SSIM, vp8enc.cpp:443-453)
+STATS: (4,) i32 [replaced, ssim_min, sum_hi, sum_lo] — the 16-byte sync
+read that drives the redo-as-key decision (check_SSIM, vp8enc.cpp:443-453)
 without waiting on the full head transfer.
 
 Escapes (|level| > 127, at most 2 per MB before the dense fallback kicks
@@ -87,16 +91,20 @@ def pack_wire(levels_pack, meta, cur_ssim, replaced):
             meta[:, 3:11].astype(jnp.int16), jnp.uint8).reshape(mbc, 16),
     ], axis=1)
 
-    # sum clamps each MB at -1.0 (-Q3) so the int32 total cannot wrap even
-    # on a pathological frame (DC penalties can push fx below -Q3)
+    # each MB clamps at -1.0 (-Q3, matching spec/inter.py's int64 sum; DC
+    # penalties can push fx below -Q3), then the biased score (0..196608)
+    # is split 12-bit hi/lo so neither partial sum can wrap int32 at any
+    # frame size up to ~500k MBs (sum_lo <= mbc*4095, sum_hi <= mbc*48)
     ssim_min = cur_ssim.min().astype(jnp.int32)
-    ssim_sum = jnp.maximum(cur_ssim, -98304).sum().astype(jnp.int32)
+    w = jnp.maximum(cur_ssim, -98304) + 98304
+    sum_hi = (w >> 12).sum().astype(jnp.int32)
+    sum_lo = (w & 4095).sum().astype(jnp.int32)
     replaced = jnp.asarray(replaced, jnp.int32)
     head = jnp.concatenate([
-        as_u8(n_active), as_u8(flags), as_u8(ssim_min), as_u8(ssim_sum),
-        as_u8(replaced),
+        as_u8(n_active), as_u8(flags), as_u8(ssim_min), as_u8(sum_hi),
+        as_u8(sum_lo), as_u8(replaced),
         bitmap, meta8.reshape(-1), as_u8(esc_off), as_u8(esc_val)])
-    stats = jnp.stack([replaced, ssim_min, ssim_sum])
+    stats = jnp.stack([replaced, ssim_min, sum_hi, sum_lo])
     return head, body, stats
 
 
@@ -116,7 +124,12 @@ def build_wire_kernel(mbc: int):
 
 def head_size(mbc: int) -> int:
     nb = mbc * 25
-    return 20 + (-(-nb // 8)) + mbc * 20 + mbc * ESC_SLOTS * 4
+    return 24 + (-(-nb // 8)) + mbc * 20 + mbc * ESC_SLOTS * 4
+
+
+def stats_sum_fx(sum_hi: int, sum_lo: int, mbc: int) -> int:
+    """Reassemble the exact int ssim_sum from the hi/lo split words."""
+    return (int(sum_hi) << 12) + int(sum_lo) - 98304 * mbc
 
 
 def body_capacity(mbc: int) -> int:
@@ -131,9 +144,11 @@ def unpack_head(head: np.ndarray, mbc: int) -> dict:
     n_active = int(head[0:4].view("<i4")[0])
     flags = int(head[4:8].view("<i4")[0])
     ssim_min_fx = int(head[8:12].view("<i4")[0])
-    ssim_sum_fx = int(head[12:16].view("<i4")[0])
-    replaced = int(head[16:20].view("<i4")[0])
-    o = 20
+    sum_hi = int(head[12:16].view("<i4")[0])
+    sum_lo = int(head[16:20].view("<i4")[0])
+    ssim_sum_fx = stats_sum_fx(sum_hi, sum_lo, mbc)
+    replaced = int(head[20:24].view("<i4")[0])
+    o = 24
     bitmap = head[o:o + nbm]
     o += nbm
     meta8 = head[o:o + mbc * 20].reshape(mbc, 20)

@@ -30,14 +30,17 @@ except ImportError:
     from jax.experimental.shard_map import shard_map
 
 
-def build_multichip_step(mesh: Mesh, wrk_w: int, wrk_h: int):
+def build_multichip_step(mesh: Mesh, wrk_w: int, wrk_h: int,
+                         ssim_enabled: bool = False):
     """Returns the jitted multichip step fn.
 
     Arrays are batched over G (the gop axis) and sharded (G over gop, rows
     over tile).  Returns per-GOP encoded-frame tensors + psum'd frame stats.
-    """
+    ssim_enabled must match the config (False when ssim_target < 0) so an
+    SSIM-off run neither pays the intra-replace compute nor mutates parts
+    for MBs whose Q15 score happens to be <= -1."""
     from vp8oclenc_tpu.ops import inter as OPS
-    raw_kernel = OPS.build_inter_kernel(wrk_w, wrk_h)
+    raw_kernel = OPS.build_inter_kernel(wrk_w, wrk_h, ssim_enabled=ssim_enabled)
     ntile = mesh.shape["tile"]
 
     def per_frame(y, u, v, refs_y, refs_u, refs_v, ref_valid, q, ssim_t):
