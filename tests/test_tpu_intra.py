@@ -54,3 +54,36 @@ def test_tpu_intra_matches_spec(size, qi):
     assert np.array_equal(rec_t[1], rec_s[1])
     assert np.array_equal(rec_t[2], rec_s[2])
     assert np.array_equal(lv_t, lv_s)
+
+
+def test_sixtap_seamless_equals_quadrant():
+    """search_qpel's shared-horizontal-pass interpolation must equal the
+    quadrant-wise construction (ops/inter._sixtap_interp8, which mirrors the
+    reference's construct, GPU_kernels.cl:563-774) for every phase pair."""
+    import numpy as np
+    import jax.numpy as jnp
+    from vp8oclenc_tpu.ops.inter import _sixtap_interp8
+    from vp8oclenc_tpu.tables import SIXTAP_FILTERS
+
+    rng = np.random.default_rng(5)
+    patch = jnp.asarray(rng.integers(0, 256, (32, 17, 17)), jnp.int32)
+    for dx in range(-2, 3):
+        sx = (dx % 4 + 4) % 4
+        ox = (dx - sx) // 4
+        fx = SIXTAP_FILTERS[sx * 2]
+        bx = 3 + ox - 2
+        h = sum(int(fx[k]) * patch[..., :, bx + k: bx + k + 8]
+                for k in range(6) if int(fx[k]) != 0)
+        h = jnp.clip((h + 64) >> 7, 0, 255)
+        for dy in range(-2, 3):
+            sy = (dy % 4 + 4) % 4
+            oy = (dy - sy) // 4
+            fy = SIXTAP_FILTERS[sy * 2]
+            by = 3 + oy - 2
+            v = sum(int(fy[k]) * h[..., by + k: by + k + 8, :]
+                    for k in range(6) if int(fy[k]) != 0)
+            seamless = jnp.clip((v + 64) >> 7, 0, 255)
+            sub = patch[..., by: by + 13, bx: bx + 13]
+            quad = _sixtap_interp8(sub, sx * 2, sy * 2)
+            assert np.array_equal(np.asarray(seamless), np.asarray(quad)), \
+                f"dx={dx} dy={dy}"

@@ -64,14 +64,22 @@ def _pad_tiles(p, pad_y: int, pad_x: int):
 
 def _tile_take_patch(planes, pidx, gy, gx, ph: int, pw: int):
     """planes (K, PH, PW) u8 padded+tile-aligned; pidx/gy/gx (..., n) int32
-    (gy/gx = padded-coordinate top-left).  Returns (..., n, ph, pw) u8.
+    (gy/gx = padded-coordinate top-left).  Returns (..., n, ph, W2) u8 with
+    W2 = 16*ceil((pw+15)/16): row r, col j hold plane[gy+r, gx+j] for
+    j <= W2-16 (callers slice j < pw <= W2-15 and must treat W2 as the row
+    stride).
 
-    One jnp.take of whole 128B tile rows (the fast TPU gather path), then
-    static-slice select chains for the sub-tile (row, col) offsets."""
+    One jnp.take of whole 128B tile rows (the fast TPU gather path); the
+    per-block sub-tile (row, col) offset is then resolved on the FLAT lane
+    axis by a binary shift decomposition — 3 + 4 conditional lane-shift
+    passes over a 128-multiple minor dim.  (A per-offset select chain on
+    (…, ph, pw) arrays pads the tiny minor dims to 128 lanes, inflating
+    HBM traffic ~10x; it dominated the fused kernel's runtime.)"""
     K, PH, PW = planes.shape
     TB, TC = PH // 8, PW // 16
     tr = -(-(ph + 7) // 8)
     tc = -(-(pw + 15) // 16)
+    W2 = tc * 16
     table = planes.reshape(K, TB, 8, TC, 16).transpose(0, 1, 3, 2, 4) \
                   .reshape(K * TB * TC, 128)
     # valid iff the tile block [ty, ty+tr) x [tx, tx+tc) is in range; the
@@ -86,16 +94,27 @@ def _tile_take_patch(planes, pidx, gy, gx, ph: int, pw: int):
     lead = tid.shape[:-1]
     g = jnp.take(table, tid.reshape(-1), axis=0)
     g = g.reshape(*lead, tr, tc, 8, 16)
-    patch = jnp.swapaxes(g, -3, -2).reshape(*lead, tr * 8, tc * 16)
-    out = jax.lax.slice_in_dim(patch, 0, ph, axis=-2)
-    for k in range(1, 8):
-        out = jnp.where((ry == k)[..., None, None],
-                        jax.lax.slice_in_dim(patch, k, k + ph, axis=-2), out)
-    res = jax.lax.slice_in_dim(out, 0, pw, axis=-1)
-    for k in range(1, 16):
-        res = jnp.where((rx == k)[..., None, None],
-                        jax.lax.slice_in_dim(out, k, k + pw, axis=-1), res)
-    return res
+    flat = jnp.swapaxes(g, -3, -2).reshape(*lead, tr * 8 * W2)
+
+    # shift out ry rows (units of W2 lanes) then rx cols, one bit at a time;
+    # every intermediate keeps a 128-multiple-friendly flat minor dim
+    def shift(a, amt, cond):
+        L = a.shape[-1] - amt
+        lo = jax.lax.slice_in_dim(a, 0, L, axis=-1)
+        hi = jax.lax.slice_in_dim(a, amt, amt + L, axis=-1)
+        return jnp.where(cond[..., None], hi, lo)
+
+    for bit in (4, 2, 1):
+        flat = shift(flat, bit * W2, (ry & bit) != 0)
+    for bit in (8, 4, 2, 1):
+        flat = shift(flat, bit, (rx & bit) != 0)
+    need = ph * W2
+    if flat.shape[-1] < need:
+        flat = jnp.concatenate(
+            [flat, jnp.zeros(lead + (need - flat.shape[-1],), flat.dtype)],
+            axis=-1)
+    return jax.lax.slice_in_dim(flat, 0, need, axis=-1) \
+        .reshape(*lead, ph, W2)
 
 
 def _taps_select(ph):
@@ -149,6 +168,30 @@ def _block_cost_8x8(cur_blocks, ref_blocks):
     return T.dct_weight(quads).sum(axis=-1)
 
 
+def _block_cost_batch(cur_rows64, ref_rows64):
+    """Batched candidate cost: cur_rows64 (n, 64) bf16, ref_rows64
+    (C, R, n, 64) integer-valued -> (C, R, n) int32.
+
+    All C candidates ride ONE MXU matmul (transforms.dct_cost_rows64).
+    Residuals are formed in bf16 — exact, |cur - ref| <= 255 and bf16
+    represents every integer up to 256 — and blocks stay in the contiguous
+    row-major (..., 64) layout end to end: no transposes, no 4-wide minor
+    dims for the TPU tiler to pad 32x.  The old one-candidate-at-a-time
+    int32 evaluation with (R, n, 8, 8) intermediates dominated the fused
+    kernel's runtime (~85% of device time at 1080p)."""
+    res = cur_rows64[None, None] - ref_rows64.astype(jnp.bfloat16)
+    return T.dct_cost_rows64(res)
+
+
+def _select_first_min(cost_stack, px_stack, py_stack):
+    """Earliest-minimum candidate selection (matches a strict `<` scan).
+    cost_stack (C, R, n) i32; px/py (C, R, n) -> (best_x, best_y, best_cost,
+    best_idx) each (R, n)."""
+    best_idx = jnp.argmin(cost_stack, axis=0)          # first min wins
+    take = lambda s: jnp.take_along_axis(s, best_idx[None], axis=0)[0]
+    return take(px_stack), take(py_stack), take(cost_stack), best_idx
+
+
 def _plane_blocks8(plane):
     H, W = plane.shape[-2], plane.shape[-1]
     nby, nbx = H // 8, W // 8
@@ -159,7 +202,7 @@ def _plane_blocks8(plane):
 
 
 def search_level(cur, ref_pad, pads, src_vec, pixel_rate: int, penalty: bool,
-                 row0=0, full_h: int = 0):
+                 row0=0, full_h: int = 0, src_off=0):
     """cur (H, W) unpadded; ref_pad (R, PH, PW) padded; pads = (pad_y, pad_x).
     src_vec (R, nbyc, nbxc, 2) or None.  Returns (R, nby, nbx, 2) vectors
     in full-res pixel units.
@@ -167,7 +210,10 @@ def search_level(cur, ref_pad, pads, src_vec, pixel_rate: int, penalty: bool,
     row0/full_h support row-sharded (tile-parallel) operation: cur is the
     shard starting at global row `row0` of a `full_h`-tall frame and ref_pad
     carries halo rows; candidate validity is checked against the FULL frame
-    bounds so shard results equal the single-chip kernel's."""
+    bounds so shard results equal the single-chip kernel's.  src_off (this
+    level's px offset of the shard, traced ok) is added to cy for the
+    parent-vector lookup when src_vec covers the FULL frame grid while cur
+    is a shard (the replicated coarse levels of the sharded search)."""
     H, W = cur.shape
     if not full_h:
         full_h = H
@@ -181,52 +227,48 @@ def search_level(cur, ref_pad, pads, src_vec, pixel_rate: int, penalty: bool,
     if src_vec is None:
         v0 = jnp.zeros((R, n, 2), dtype=jnp.int32)
     else:
-        pby = jnp.clip((cy // 2) // 8, 0, src_vec.shape[1] - 1)
+        pby = jnp.clip(((cy + src_off) // 2) // 8, 0, src_vec.shape[1] - 1)
         pbx = jnp.clip((cx // 2) // 8, 0, src_vec.shape[2] - 1)
         v = src_vec[:, pby, pbx]                       # (R, n, 2)
         v0 = jnp.sign(v) * (jnp.abs(v) // pixel_rate)
     v0x, v0y = v0[..., 0], v0[..., 1]
 
-    cur_blocks = _plane_blocks8(cur)                   # (n, 8, 8)
+    cur64 = _plane_blocks8(cur).reshape(n, 64).astype(jnp.bfloat16)
 
-    best_cost = jnp.full((R, n), BIG, dtype=jnp.int32)
-    best_x = cx[None] + v0x
-    best_y = cy[None] + v0y
-
-    def consider(px, py, cost):
-        nonlocal best_x, best_y, best_cost
-        if penalty:
-            cost = cost + (jnp.abs(px - cx[None] - v0x)
-                           + jnp.abs(py - cy[None] - v0y)) \
-                * (VECTOR_DIFF_WEIGHT // 2)
-        gy = py + row0
-        invalid = (px < 0) | (px > W - 8) | (gy < 0) | (gy > full_h - 8)
-        cost = jnp.where(invalid, BIG, cost).astype(jnp.int32)
-        better = cost < best_cost
-        best_x = jnp.where(better, px, best_x)
-        best_y = jnp.where(better, py, best_y)
-        best_cost = jnp.where(better, cost, best_cost)
-
-    # --- window 1: +-2 around the inherited vector (12x12 tile-take) ---
+    # --- both windows' 8x8 candidate blocks from two 12x12 tile-takes:
+    # window 1 = +-2 around the inherited vector, window 2 = +-2 around
+    # zero (the reference's rate>8 vector reset, GPU_kernels.cl:500) ---
     ridx = jnp.broadcast_to(jnp.arange(R)[:, None], (R, n))
-    patch = _tile_take_patch(ref_pad, ridx,
-                             cy[None] + v0y + (py0 - 2),
-                             cx[None] + v0x + (px0 - 2), 12, 12)
-    for dxy in range(25):
-        dx, dy = (dxy % 5) - 2, (dxy // 5) - 2
-        ref_b = jax.lax.slice_in_dim(
-            jax.lax.slice_in_dim(patch, dy + 2, dy + 10, axis=-2),
-            dx + 2, dx + 10, axis=-1)
-        cost = _block_cost_8x8(cur_blocks[None], ref_b)
-        consider(cx[None] + v0x + dx, cy[None] + v0y + dy, cost)
+    patch1 = _tile_take_patch(ref_pad, ridx,
+                              cy[None] + v0y + (py0 - 2),
+                              cx[None] + v0x + (px0 - 2), 12, 12)
+    zero = jnp.zeros((R, n), jnp.int32)
+    patch0 = _tile_take_patch(ref_pad, ridx, cy[None] + zero + (py0 - 2),
+                              cx[None] + zero + (px0 - 2), 12, 12)
 
-    # --- window 2: +-2 around zero (static slices of the padded plane) ---
-    for dxy in range(25):
-        dx, dy = (dxy % 5) - 2, (dxy // 5) - 2
-        shifted = jax.lax.slice(ref_pad, (0, py0 + dy, px0 + dx),
-                                (R, py0 + dy + H, px0 + dx + W))
-        cost = _block_cost_8x8(cur_blocks[None], _plane_blocks8(shifted))
-        consider(cx[None] + dx, cy[None] + dy, cost)
+    costs, pxs, pys = [], [], []
+    for win, patch, vx0, vy0 in ((1, patch1, v0x, v0y), (0, patch0, 0, 0)):
+        refs = []
+        for dxy in range(25):
+            dx, dy = (dxy % 5) - 2, (dxy // 5) - 2
+            refs.append(jax.lax.slice_in_dim(
+                jax.lax.slice_in_dim(patch, dy + 2, dy + 10, axis=-2),
+                dx + 2, dx + 10, axis=-1).reshape(R, n, 64))
+            pxs.append(jnp.broadcast_to(cx[None] + vx0 + dx, (R, n)))
+            pys.append(jnp.broadcast_to(cy[None] + vy0 + dy, (R, n)))
+        # one 25-candidate MXU batch per window bounds peak HBM
+        costs.append(_block_cost_batch(cur64, jnp.stack(refs)))
+
+    costs = jnp.concatenate(costs)                             # (50, R, n)
+    px_s, py_s = jnp.stack(pxs), jnp.stack(pys)
+    if penalty:
+        costs = costs + (jnp.abs(px_s - (cx[None] + v0x)[None])
+                         + jnp.abs(py_s - (cy[None] + v0y)[None])) \
+            * (VECTOR_DIFF_WEIGHT // 2)
+    gy = py_s + row0
+    invalid = (px_s < 0) | (px_s > W - 8) | (gy < 0) | (gy > full_h - 8)
+    costs = jnp.where(invalid, BIG, costs).astype(jnp.int32)
+    best_x, best_y, _, _ = _select_first_min(costs, px_s, py_s)
 
     vx = (best_x - cx[None]) * pixel_rate
     vy = (best_y - cy[None]) * pixel_rate
@@ -262,7 +304,7 @@ def _sixtap_interp8(sub, phase_x: int, phase_y: int):
     return jnp.concatenate(quads, axis=-2)
 
 
-def search_qpel(cur, ref_pad, pads, fullpel_vec):
+def search_qpel(cur, ref_pad, pads, fullpel_vec, row0=0, full_h: int = 0):
     """cur (H,W); ref_pad (R,PH,PW) padded; fullpel_vec (R, nby, nbx, 2).
     Returns (vectors (R,nby,nbx,2) qpel, Bdiff (R,nby,nbx),
     best_pred (R, n, 8, 8) — the winning candidate's interpolated block,
@@ -270,8 +312,13 @@ def search_qpel(cur, ref_pad, pads, fullpel_vec):
 
     The 25 refinement candidates sit at +-2 qpel around a *full-pel* base, so
     every block shares the candidate's subpel phase: interpolation becomes a
-    static-coefficient convolution over one 17x17 patch per block."""
+    static-coefficient convolution over one 17x17 patch per block.
+
+    row0/full_h: see search_level — candidate validity is checked against
+    the FULL frame bounds when `cur` is a row shard of a taller frame."""
     H, W = cur.shape
+    if not full_h:
+        full_h = H
     R = ref_pad.shape[0]
     py0, px0 = pads
     nbx, nby = W // 8, H // 8
@@ -281,7 +328,7 @@ def search_qpel(cur, ref_pad, pads, fullpel_vec):
     v0 = fullpel_vec.reshape(R, n, 2) * 4
     v0x, v0y = v0[..., 0], v0[..., 1]
 
-    cur_blocks = _plane_blocks8(cur)                   # (n, 8, 8)
+    cur64 = _plane_blocks8(cur).reshape(n, 64).astype(jnp.bfloat16)
 
     # one 17x17 patch per block: fullpel base c+v0, margin -3..+13
     # (interp apron -2..+3 per 4x4 half, +-1 fullpel candidate shift)
@@ -289,47 +336,66 @@ def search_qpel(cur, ref_pad, pads, fullpel_vec):
     ridx = jnp.broadcast_to(jnp.arange(R)[:, None], (R, n))
     patch = _tile_take_patch(ref_pad, ridx,
                              cy[None] // 4 + fv[..., 1] + (py0 - 3),
-                             cx[None] // 4 + fv[..., 0] + (px0 - 3), 17, 17)
+                             cx[None] // 4 + fv[..., 0] + (px0 - 3), 17, 17) \
+        .astype(jnp.int32)
 
-    best_cost = jnp.full((R, n), BIG, dtype=jnp.int32)
-    best_x = jnp.zeros((R, n), dtype=jnp.int32)
-    best_y = jnp.zeros((R, n), dtype=jnp.int32)
-    best_pred = jnp.zeros((R, n, 8, 8), dtype=jnp.int32)
+    # the 25 candidates reuse 5 horizontal six-tap passes (one per dx: the
+    # 5 vertical candidates of a column share phase_x and fullpel shift),
+    # then 25 cheap vertical passes — the reference recomputes both passes
+    # per candidate (construct, GPU_kernels.cl:563-774); the quadrant-wise
+    # construction is elementwise identical to these seamless passes
+    # (tests/test_tpu_intra.py::test_sixtap_seamless_equals_quadrant).
+    # h is stored flat (R, n, 17*8) so the vertical pass slices contiguous
+    # 64-wide row groups — 8-wide minor dims would be lane-padded 16x.
+    h_by_dx = {}
+    for dx in range(-2, 3):
+        sx = (dx % 4 + 4) % 4
+        ox = (dx - sx) // 4
+        fx = SIXTAP_FILTERS[sx * 2]
+        base = 3 + ox - 2
+        h = sum(int(fx[k]) * patch[..., :, base + k: base + k + 8]
+                for k in range(6) if int(fx[k]) != 0)
+        h = jnp.clip((h + 64) >> 7, 0, 255)               # (R, n, 17, 8)
+        h_by_dx[dx] = h.reshape(R, n, 17 * 8)
 
-    def consider(px, py, cost, pred, with_penalty):
-        nonlocal best_x, best_y, best_cost, best_pred
-        if with_penalty:
-            cost = cost + (jnp.abs(px - cx[None] - v0x)
-                           + jnp.abs(py - cy[None] - v0y)) \
-                * (VECTOR_DIFF_WEIGHT // 2)
-        invalid = (px < 0) | (px > W * 4 - 32) | (py < 0) | (py > H * 4 - 32)
-        cost = jnp.where(invalid, BIG, cost).astype(jnp.int32)
-        better = cost < best_cost
-        best_x = jnp.where(better, px, best_x)
-        best_y = jnp.where(better, py, best_y)
-        best_cost = jnp.where(better, cost, best_cost)
-        best_pred = jnp.where(better[..., None, None], pred, best_pred)
-
+    preds, pxs, pys = [], [], []
     for cand in range(25):
         dx, dy = (cand % 5) - 2, (cand // 5) - 2
-        sx = (dx % 4 + 4) % 4        # phase (dx mod 4, python semantics ok)
         sy = (dy % 4 + 4) % 4
-        ox = (dx - sx) // 4          # fullpel shift (-1 or 0)
         oy = (dy - sy) // 4
-        # 8x8 prediction built from the two 4x4 column/row halves at once:
-        # slice a 13x13 region then interpolate per 4x4 quadrant (the
-        # construction in the reference concatenates exactly these values)
-        sub = patch[..., 3 + oy - 2: 3 + oy + 11, 3 + ox - 2: 3 + ox + 11]
-        pred = _sixtap_interp8(sub.astype(jnp.int32), sx * 2, sy * 2)
-        cost = _block_cost_8x8(cur_blocks[None], pred)
-        consider(cx[None] + v0x + dx, cy[None] + v0y + dy, cost, pred, True)
+        fy = SIXTAP_FILTERS[sy * 2]
+        h = h_by_dx[dx]
+        base = 3 + oy - 2
+        # rows base+k .. base+k+8 of the (17, 8) grid = one flat 64 slice
+        v = sum(int(fy[k]) * jax.lax.slice_in_dim(
+            h, (base + k) * 8, (base + k) * 8 + 64, axis=-1)
+            for k in range(6) if int(fy[k]) != 0)
+        preds.append(jnp.clip((v + 64) >> 7, 0, 255).astype(jnp.bfloat16))
+        pxs.append(jnp.broadcast_to(cx[None] + v0x + dx, (R, n)))
+        pys.append(jnp.broadcast_to(cy[None] + v0y + dy, (R, n)))
 
     # candidate 25: absolute zero MV, phase 0 -> plain block compare
     zero_plane = jax.lax.slice(ref_pad, (0, py0, px0), (R, py0 + H, px0 + W))
-    zero_blocks = _plane_blocks8(zero_plane)           # (R, n, 8, 8)
-    cost = _block_cost_8x8(cur_blocks[None], zero_blocks)
-    consider(jnp.broadcast_to(cx, (R, n)), jnp.broadcast_to(cy, (R, n)),
-             cost, zero_blocks, False)
+    preds.append(_plane_blocks8(zero_plane).reshape(R, n, 64)
+                 .astype(jnp.bfloat16))
+    pxs.append(jnp.broadcast_to(cx, (R, n)))
+    pys.append(jnp.broadcast_to(cy, (R, n)))
+
+    pred_s = jnp.stack(preds)          # (26, R, n, 64) bf16 (0..255 exact)
+    px_s, py_s = jnp.stack(pxs), jnp.stack(pys)
+    costs = _block_cost_batch(cur64, pred_s)                # (26, R, n)
+    pen = (jnp.abs(px_s - (cx[None] + v0x)[None])
+           + jnp.abs(py_s - (cy[None] + v0y)[None])) * (VECTOR_DIFF_WEIGHT // 2)
+    pen = pen.at[25].set(0)            # zero-MV candidate carries no penalty
+    costs = costs + pen
+    gy = py_s + row0 * 4
+    invalid = (px_s < 0) | (px_s > W * 4 - 32) | (gy < 0) \
+        | (gy > full_h * 4 - 32)
+    costs = jnp.where(invalid, BIG, costs).astype(jnp.int32)
+    best_x, best_y, best_cost, best_idx = _select_first_min(costs, px_s, py_s)
+    best_pred = jnp.take_along_axis(
+        pred_s, best_idx[None, ..., None], axis=0)[0] \
+        .astype(jnp.int32).reshape(R, n, 8, 8)
 
     vx = best_x - cx[None]
     vy = best_y - cy[None]
@@ -341,9 +407,14 @@ def search_qpel(cur, ref_pad, pads, fullpel_vec):
             best_cost.reshape(R, nby, nbx), best_pred)
 
 
-def hierarchical_search(cur_pyr, ref_pyr):
+def hierarchical_search(cur_pyr, ref_pyr, row0=0, full_h: int = 0):
     """cur_pyr: list of (H_l, W_l) planes; ref_pyr: build_ref_pyramid output.
-    Returns (vectors, Bdiff, best_pred) from the qpel stage."""
+    Returns (vectors, Bdiff, best_pred) from the qpel stage.
+
+    row0 (traced ok) / full_h (static): when cur_pyr holds the row shard of
+    a `full_h`-tall frame starting at global row `row0` (both multiples of
+    16), every level's candidate validity is evaluated in global frame
+    coordinates so the sharded result equals the single-chip kernel's."""
     vec = None
     for lvl, rate in ((4, 16), (3, 8), (2, 4), (1, 2)):
         h, w = cur_pyr[lvl].shape
@@ -351,10 +422,48 @@ def hierarchical_search(cur_pyr, ref_pyr):
             continue
         plane, pads, _ = ref_pyr[lvl]
         vec = search_level(cur_pyr[lvl], plane, pads, vec, rate,
-                           penalty=(rate < 4))
+                           penalty=(rate < 4),
+                           row0=row0 >> lvl if full_h else 0,
+                           full_h=full_h >> lvl if full_h else 0)
     plane, pads, _ = ref_pyr[0]
-    vec = search_level(cur_pyr[0], plane, pads, vec, 1, penalty=True)
-    return search_qpel(cur_pyr[0], plane, pads, vec)
+    vec = search_level(cur_pyr[0], plane, pads, vec, 1, penalty=True,
+                       row0=row0, full_h=full_h)
+    return search_qpel(cur_pyr[0], plane, pads, vec, row0=row0, full_h=full_h)
+
+
+def hierarchical_search_sharded(cur_pyr, cur_full2, ref_pyr, row0,
+                                full_h: int, axis: str):
+    """Row-sharded hierarchical search, bit-identical to the single-chip
+    hierarchical_search.
+
+    The coarse levels (4, 3, 2) CANNOT be row-sharded exactly: a shard's
+    local 8px block grid aligns with the global grid only when the shard
+    offset divides 8*2^l, which fails at l >= 2 for odd shard positions.
+    They are tiny (level 2 = 1/16 of the frame pixels), so every chip runs
+    them on the full frame: cur_full2 is the all-gathered level-2 current
+    plane (levels 3-4 derived locally by downsampling), and ref_pyr[2..4]
+    are replicated full padded planes.  Levels 1 and 0 + qpel are sharded:
+    ref_pyr[0..1] are halo strips (parallel.tile.build_ref_strips), and
+    level 1 indexes the replicated level-2 vector field with global
+    coordinates (src_off)."""
+    cur_full3 = downsample2(cur_full2)
+    cur_full4 = downsample2(cur_full3)
+    vec = None
+    for lvl, cur_l, rate in ((4, cur_full4, 16), (3, cur_full3, 8),
+                             (2, cur_full2, 4)):
+        h, w = cur_l.shape
+        if (w // 8) == 0 or (h // 8) == 0:
+            continue
+        plane, pads, _ = ref_pyr[lvl]
+        vec = search_level(cur_l, plane, pads, vec, rate, penalty=(rate < 4))
+    plane, pads, _ = ref_pyr[1]
+    vec = search_level(cur_pyr[1], plane, pads, vec, 2, penalty=True,
+                       row0=row0 >> 1, full_h=full_h >> 1,
+                       src_off=row0 >> 1)
+    plane, pads, _ = ref_pyr[0]
+    vec = search_level(cur_pyr[0], plane, pads, vec, 1, penalty=True,
+                       row0=row0, full_h=full_h)
+    return search_qpel(cur_pyr[0], plane, pads, vec, row0=row0, full_h=full_h)
 
 
 # ---------------------------------------------------------------------------
@@ -469,11 +578,22 @@ def mb_ssim(y, ry, u, ru, v, rv):
 # ---------------------------------------------------------------------------
 
 @lru_cache(maxsize=8)
-def _cachehook_build_inter_kernel(wrk_w: int, wrk_h: int, ssim_enabled: bool = True):
+def _cachehook_build_inter_kernel(wrk_w: int, wrk_h: int,
+                                  ssim_enabled: bool = True,
+                                  full_h: int = 0):
     """ssim_enabled=True: 4 progressive segment passes, un-filtered recon
     returned (the host SSIM controller may replace MBs before filtering).
     ssim_enabled=False: single LQ pass and the loop filter fused in — the
-    whole per-frame pixel path is one device call."""
+    whole per-frame pixel path is one device call.
+
+    full_h != 0: SHARD mode — wrk_h is the height of one row shard of a
+    full_h-tall frame; body takes a leading traced `row0` (the shard's
+    global top row) so search validity runs in global coordinates, and the
+    ref pyramid/chroma pads are halo rows exchanged by the caller
+    (parallel/tile.py).  SSIM intra-replacement needs cross-shard recon
+    rows and is not supported sharded."""
+    if full_h:
+        assert not ssim_enabled, "SSIM controller unsupported in shard mode"
     mbw, mbh = wrk_w // 16, wrk_h // 16
     mbc = mbw * mbh
     nby, nbx = wrk_h // 8, wrk_w // 8
@@ -488,14 +608,20 @@ def _cachehook_build_inter_kernel(wrk_w: int, wrk_h: int, ssim_enabled: bool = T
 
     def body(y, u, v, ref_pyr, refs_u_pad, refs_v_pad, ref_valid,
              seg_y_dc, seg_y_ac, seg_y2_dc, seg_y2_ac, seg_uv_dc, seg_uv_ac,
-             ssim_target):
+             ssim_target, row0=0):
         """ref_pyr: build_ref_pyramid-format list; refs_*_pad: (3, PH, PW)
         padded chroma; ref_valid: (3,) bool; seg_*: (4,) int32."""
         cur_pyr = [y]
         for _ in range(4):
             cur_pyr.append(downsample2(cur_pyr[-1]))
 
-        vecs, diffs, best_pred = hierarchical_search(cur_pyr, ref_pyr)
+        if full_h:
+            cur_full2 = jax.lax.all_gather(cur_pyr[2], "tile", axis=0,
+                                           tiled=True)
+            vecs, diffs, best_pred = hierarchical_search_sharded(
+                cur_pyr, cur_full2, ref_pyr, row0, full_h, "tile")
+        else:
+            vecs, diffs, best_pred = hierarchical_search(cur_pyr, ref_pyr)
 
         # reference selection (LAST <= ALTREF <= GOLDEN on ties)
         def mb_sum(d):
@@ -691,6 +817,27 @@ def _cachehook_build_inter_kernel(wrk_w: int, wrk_h: int, ssim_enabled: bool = T
 
     run.pyr = jitted_pyr
     run.yuv = jitted_yuv
+
+    def traceable_shard(row0, y, u, v, pyrs, u_pads, v_pads, ref_valid,
+                        seg_y_dc, seg_y_ac, seg_y2_dc, seg_y2_ac, seg_uv_dc,
+                        seg_uv_ac, ssim_target):
+        """Un-jitted kernel_pyr-style entry with a traced global row offset;
+        called inside shard_map by parallel/tile.py."""
+        ref_pyr = []
+        pad, h, w = PAD_Y_FULL, wrk_h, wrk_w
+        for lvl in range(5):
+            stacked = jnp.stack([pyrs[0][lvl], pyrs[1][lvl], pyrs[2][lvl]])
+            ref_pyr.append((stacked, (pad, pad), (h, w)))
+            pad //= 2
+            h //= 2
+            w //= 2
+        refs_u_pad = jnp.stack(list(u_pads))
+        refs_v_pad = jnp.stack(list(v_pads))
+        return body(y, u, v, ref_pyr, refs_u_pad, refs_v_pad, ref_valid,
+                    seg_y_dc, seg_y_ac, seg_y2_dc, seg_y2_ac, seg_uv_dc,
+                    seg_uv_ac, ssim_target, row0=row0)
+
+    run.traceable_shard = traceable_shard
     return run
 
 
@@ -724,3 +871,14 @@ def build_inter_kernel(wrk_w: int, wrk_h: int, ssim_enabled: bool = True):
     from vp8oclenc_tpu.utils.jaxcache import enable
     enable()
     return _cachehook_build_inter_kernel(wrk_w, wrk_h, ssim_enabled)
+
+
+def build_inter_shard_fn(wrk_w: int, shard_h: int, full_h: int):
+    """Traceable per-shard inter pixel step (for shard_map):
+    fn(row0, y, u, v, pyrs, u_pads, v_pads, ref_valid, seg..., ssim_target)
+    where y/u/v are the shard's rows and pyrs/u_pads/v_pads are halo strips
+    built by parallel.tile.build_ref_strips."""
+    from vp8oclenc_tpu.utils.jaxcache import enable
+    enable()
+    return _cachehook_build_inter_kernel(
+        wrk_w, shard_h, ssim_enabled=False, full_h=full_h).traceable_shard

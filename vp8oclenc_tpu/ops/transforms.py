@@ -127,29 +127,99 @@ def _cost_consts():
 _COST_M128, _COST_W128 = _cost_consts()
 
 
+def _cost_consts64():
+    """64-wide cost operator for row-major 8x8 residual blocks.
+
+    The quad-splitting permutation (8x8 row-major -> four 4x4 quads) is
+    folded INTO the matrix: out[q*16+j] = sum_{r,c} M16[j, 4r+c] *
+    x[(4*qy+r)*8 + 4*qx + c].  Feeding (..., 64) rows straight to the MXU
+    avoids the (..., 2, 4, 2, 4) transpose whose TPU tiling T(4,128) pads
+    each 4-wide minor dim to 128 lanes — a 16x physical inflation that
+    OOMs HBM at 1080p candidate-batch sizes."""
+    import numpy as np
+    from vp8oclenc_tpu.tables import COST_M16, COST_W16
+    m64 = np.zeros((64, 64), dtype=np.float32)
+    for q in range(4):
+        qy, qx = q // 2, q % 2
+        for j in range(16):
+            for r in range(4):
+                for c in range(4):
+                    m64[(4 * qy + r) * 8 + 4 * qx + c,
+                        q * 16 + j] = COST_M16[j, r * 4 + c]
+    m128 = np.zeros((128, 128), dtype=np.float32)
+    m128[:64, :64] = m64
+    m128[64:, 64:] = m64
+    w128 = np.tile(COST_W16, 8).astype(np.float32)
+    return m128, w128
+
+
+_COST_M128_B8, _COST_W128_B8 = _cost_consts64()
+
+
+def dct_cost_rows64(rows64):
+    """Per-8x8-block ME cost from row-major (..., 64) residual rows
+    (bfloat16 holding exact integers in [-255, 255], or any int dtype)
+    -> (...,) int32.  Bit-identical to dct_weight over the four quads
+    (same per-quad >> COST_SHIFT before the quad sum); the input layout is
+    MXU-native so no transposes/copies materialize."""
+    import numpy as np
+    lead = rows64.shape[:-1]
+    n = int(np.prod(lead)) if lead else 1
+    pad = (-n) % 2
+    if rows64.dtype == jnp.bfloat16:
+        flat = rows64.reshape(n, 64)
+        mat = jnp.asarray(_COST_M128_B8, jnp.bfloat16)
+    else:
+        flat = rows64.reshape(n, 64).astype(jnp.float32)
+        mat = jnp.asarray(_COST_M128_B8)
+    if pad:
+        flat = jnp.concatenate(
+            [flat, jnp.zeros((pad, 64), flat.dtype)], axis=0)
+    x = flat.reshape(-1, 128)
+    c = jnp.abs(jax.lax.dot_general(
+        x, mat, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32))
+    s = (c.reshape(-1, 8, 16) * jnp.asarray(_COST_W128_B8).reshape(8, 16)) \
+        .sum(axis=-1)
+    quads = s.reshape(-1, 4).astype(jnp.int32) >> COST_SHIFT
+    out = quads.sum(axis=-1).reshape(-1)[:n]
+    return out.reshape(lead)
+
+
 def dct_cost(quads16):
     """ME/mode cost metric (spec/transforms.py:dct_cost, tables.COST_M16)
     evaluated as one block-diagonal (N/8, 128) @ (128, 128) matmul on the
-    MXU at DEFAULT precision, which is still bit-exact against the int64
-    numpy oracle: residuals (|x| <= 255) and table entries (|m| <= 100) are
-    integers exactly representable in bf16, the MXU accumulates their exact
-    products in f32, per-coefficient sums are < 2^18, and the weighted total
-    is bounded by 255 * sum_k w_k * rowabssum_k = 13.9M < 2^24 — every f32
-    intermediate is an exactly-representable integer (verified by
+    MXU, bit-exact against the int64 numpy oracle: residuals (|x| <= 255)
+    and table entries (|m| <= 100) are integers exactly representable in
+    bf16, the MXU accumulates their exact products in f32, per-coefficient
+    sums are < 2^18, and the weighted total is bounded by
+    255 * sum_k w_k * rowabssum_k = 13.9M < 2^24 — every f32 intermediate is
+    an exactly-representable integer (verified by
     tests/test_tpu_backend.py::test_dct_cost_matmul_exact).
 
-    quads16: (..., 16) int32 row-major 4x4 residuals -> (...,) int32.
+    quads16: (..., 16) int32 — or bfloat16 holding exact integers in
+    [-255, 255] (the hot search path forms residuals directly in bf16 to
+    halve HBM traffic and feed the MXU natively; exactness is unchanged
+    because bf16 represents every integer up to 256) — row-major 4x4
+    residuals -> (...,) int32.
     """
     import numpy as np
     lead = quads16.shape[:-1]
     n = int(np.prod(lead)) if lead else 1
     pad = (-n) % 8
-    flat = quads16.reshape(n, 16).astype(jnp.float32)
+    if quads16.dtype == jnp.bfloat16:
+        flat = quads16.reshape(n, 16)
+        mat = jnp.asarray(_COST_M128, jnp.bfloat16)
+    else:
+        flat = quads16.reshape(n, 16).astype(jnp.float32)
+        mat = jnp.asarray(_COST_M128)
     if pad:
         flat = jnp.concatenate(
-            [flat, jnp.zeros((pad, 16), jnp.float32)], axis=0)
+            [flat, jnp.zeros((pad, 16), flat.dtype)], axis=0)
     x = flat.reshape(-1, 128)
-    c = jnp.abs(jnp.dot(x, jnp.asarray(_COST_M128)))
+    c = jnp.abs(jax.lax.dot_general(
+        x, mat, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32))
     s = (c.reshape(-1, 8, 16) * jnp.asarray(_COST_W128).reshape(8, 16)) \
         .sum(axis=-1)
     out = s.reshape(-1)[:n].astype(jnp.int32) >> COST_SHIFT
