@@ -14,11 +14,8 @@ from dataclasses import dataclass
 import numpy as np
 
 from vp8oclenc_tpu import tables as TBL
-from vp8oclenc_tpu.entropy.boolcoder import BoolDecoder
-from vp8oclenc_tpu.pipeline.segments import derive_filter_limits, derive_quantizers
-from vp8oclenc_tpu.spec import loopfilter as LF
-from vp8oclenc_tpu.spec import transforms as T
-from vp8oclenc_tpu.spec.predict import bpred_all_modes, tm_predict_8x8
+from vp8oclenc_tpu.decoder import primitives as PRIM
+from vp8oclenc_tpu.decoder.primitives import RangeDecoder as BoolDecoder
 from vp8oclenc_tpu.tables import (ALTREF, ARE4X4, ARE8X8, ARE16X16, CAT_BASE,
                                   CAT_NBITS, COEFF_BANDS, COEFF_TREE, DCT_EOB,
                                   DCT_0, GOLDEN, LAST, MVP_BITS, MVP_IS_SHORT,
@@ -270,7 +267,7 @@ class VP8Decoder:
             bds, num_parts, mbw, mbh, parts, skip, coeff_probs)
 
         # --- reconstruction ---
-        qs = derive_quantizers(
+        qs = PRIM.quantizers_from_indices(
             seg_qi if seg_enabled else np.full(4, y_ac_qi, dtype=np.int32),
             y_dc_d, y2_dc_d, y2_ac_d, uv_dc_d, uv_ac_d)
         recon = self._reconstruct(levels, parts, seg_ids, bmodes, mvs,
@@ -279,19 +276,12 @@ class VP8Decoder:
         # --- loop filter ---
         lf_levels = seg_lf if seg_enabled else np.full(4, filter_level, np.int32)
         if filter_type == 0 and np.any(lf_levels > 0):
-            interior, mbe, sbe, hev = derive_filter_limits(
+            interior, mbe, sbe, hev = PRIM.filter_limits_from_levels(
                 lf_levels, sharpness, is_key)
-
-            class _Seg:
-                loop_filter_level = lf_levels
-                interior_limit = interior
-                mbedge_limit = mbe
-                sub_bedge_limit = sbe
-                hev_threshold = hev
-
             inner = (parts != ARE16X16) | (~skip)
-            LF.loop_filter_frame(recon[0], recon[1], recon[2],
-                                 seg_ids, inner, _Seg())
+            for plane, msz in ((recon[0], 16), (recon[1], 8), (recon[2], 8)):
+                PRIM.loop_filter(plane, msz, seg_ids, inner, lf_levels,
+                                 mbe, sbe, interior, hev)
 
         if is_key or True:   # refresh_last is always 1 in our streams
             self.last = recon
@@ -304,25 +294,21 @@ class VP8Decoder:
     # ------------------------------------------------------------------
     def _decode_inter_modes(self, bd, mbn, mbw, parts, bmodes, mvs,
                             is_inter, ref_frame, mv_probs) -> None:
-        from vp8oclenc_tpu.entropy.mv import find_near_mvs
         # census over already-decoded neighbors (raster order guarantees
         # above/left/above-left are final before this MB)
-        mbh_sofar = mbn // mbw + 1
-        n = mbh_sofar * mbw
-        census = find_near_mvs(mvs[:n, 3, :].astype(np.int16),
-                               is_inter[:n], parts[:n], mbw, mbh_sofar)
-        probs = census["mode_probs"][mbn]
-        best = census["best"][mbn]
+        mbx_, mby_ = mbn % mbw, mbn // mbw
+        best, nearest_mv, near_mv, probs = PRIM.near_mv_census(
+            mvs[:, 3, :], is_inter, parts != ARE16X16, mbx_, mby_, mbw)
         mode = bd.get_tree(TBL.MV_REF_TREE, probs)
         if mode == TBL.ZEROMV:
             parts[mbn] = ARE16X16
             mvs[mbn, :, :] = 0
         elif mode == TBL.NEARESTMV:
             parts[mbn] = ARE16X16
-            mvs[mbn, :, :] = census["nearest"][mbn]
+            mvs[mbn, :, :] = nearest_mv
         elif mode == TBL.NEARMV:
             parts[mbn] = ARE16X16
-            mvs[mbn, :, :] = census["near"][mbn]
+            mvs[mbn, :, :] = near_mv
         elif mode == TBL.NEWMV:
             parts[mbn] = ARE16X16
             mvs[mbn, :, :] = best + _read_mv(bd, mv_probs)
@@ -489,15 +475,15 @@ class VP8Decoder:
 
     def _recon_intra_mb(self, ry, ru, rv, lv, modes, mbx, mby, mbw,
                         y_dc_q, y_ac_q, uv_dc_q, uv_ac_q) -> None:
-        from vp8oclenc_tpu.spec.intra import luma_block_neighbors
         w4 = mbw * 4
         for b in range(16):
             br, bc = b // 4, b % 4
             bx, by = mbx * 4 + bc, mby * 4 + br
-            A, L, P = luma_block_neighbors(ry, bx, by, w4)
-            pred = bpred_all_modes(A, L, P)[int(modes[b])]
-            dq = T.dequant4x4(T.inv_zigzag(lv[b].astype(np.int32)), y_dc_q, y_ac_q)
-            rec = np.clip(T.idct4x4(dq) + pred, 0, 255)
+            A, L, P = PRIM.block_neighbors(ry, bx, by, w4)
+            pred = PRIM.predict_b_mode(int(modes[b]), A, L, P)
+            dq = PRIM.dequantize(PRIM.unzigzag(lv[b].astype(np.int32)),
+                                 y_dc_q, y_ac_q)
+            rec = np.clip(PRIM.idct_4x4(dq) + pred, 0, 255)
             ry[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4] = rec.astype(np.uint8)
         for plane, off, out in ((0, 16, ru), (1, 20, rv)):
             x, y = mbx * 8, mby * 8
@@ -511,23 +497,24 @@ class VP8Decoder:
                 tl = np.int32(129)
             else:
                 tl = out[y - 1, x - 1].astype(np.int32)
-            pred = tm_predict_8x8(top, left, tl)
-            dq = T.dequant4x4(T.inv_zigzag(lv[off:off + 4].astype(np.int32)),
-                              uv_dc_q, uv_ac_q)
-            res = T.idct4x4(dq)                      # (4,4,4) blocks
+            pred = PRIM.predict_tm_8x8(top, left, tl)
+            dq = PRIM.dequantize(PRIM.unzigzag(lv[off:off + 4].astype(np.int32)),
+                                 uv_dc_q, uv_ac_q)
+            res = PRIM.idct_4x4(dq)                  # (4,4,4) blocks
             res88 = res.reshape(2, 2, 4, 4).transpose(0, 2, 1, 3).reshape(8, 8)
             out[y:y + 8, x:x + 8] = np.clip(pred + res88, 0, 255).astype(np.uint8)
 
     def _recon_inter_mb(self, ry, ru, rv, ref, lv, part, mv4, mbx, mby,
                         y_dc_q, y_ac_q, y2_dc_q, y2_ac_q, uv_dc_q, uv_ac_q) -> None:
         has_y2 = part == ARE16X16
-        dq = T.dequant4x4(T.inv_zigzag(lv[:16].astype(np.int32)), y_dc_q, y_ac_q)
+        dq = PRIM.dequantize(PRIM.unzigzag(lv[:16].astype(np.int32)),
+                             y_dc_q, y_ac_q)
         if has_y2:
-            y2dq = T.dequant4x4(T.inv_zigzag(lv[24].astype(np.int32)),
-                                y2_dc_q, y2_ac_q)
-            dcs = T.iwht4x4(y2dq)                    # (4,4)
+            y2dq = PRIM.dequantize(PRIM.unzigzag(lv[24].astype(np.int32)),
+                                   y2_dc_q, y2_ac_q)
+            dcs = PRIM.iwht_4x4(y2dq)                # (4,4)
             dq[:, 0, 0] = dcs.reshape(16)
-        res = T.idct4x4(dq)                          # (16,4,4)
+        res = PRIM.idct_4x4(dq)                      # (16,4,4)
         # luma MC per 4x4, quarter vectors
         for b in range(16):
             br, bc = b // 4, b % 4
@@ -541,9 +528,9 @@ class VP8Decoder:
             ry[y0:y0 + 4, x0:x0 + 4] = np.clip(pred + res[b], 0, 255).astype(np.uint8)
         # chroma MC per 4x4, eighth-pel
         for plane, off, out, refp in ((0, 16, ru, ref[1]), (1, 20, rv, ref[2])):
-            dqc = T.dequant4x4(T.inv_zigzag(lv[off:off + 4].astype(np.int32)),
-                               uv_dc_q, uv_ac_q)
-            resc = T.idct4x4(dqc)
+            dqc = PRIM.dequantize(PRIM.unzigzag(lv[off:off + 4].astype(np.int32)),
+                                  uv_dc_q, uv_ac_q)
+            resc = PRIM.idct_4x4(dqc)
             for b in range(4):
                 br, bc = b // 2, b % 2
                 vx, vy = int(mv4[b, 0]), int(mv4[b, 1])
