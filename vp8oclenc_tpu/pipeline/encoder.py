@@ -311,6 +311,87 @@ class Encoder:
         self.frame_number += 1
         return fd, seg
 
+    # ---- checkpoint / resume ----
+    def checkpoint(self) -> dict:
+        """Serializable encoder state at a frame boundary.
+
+        The reference has no checkpointing (SURVEY.md §5); here ANY frame
+        boundary is restartable: counters + detector state + the three
+        reference frames.  Restoring into a fresh Encoder continues the
+        stream byte-identically (tests/test_checkpoint_resume.py).  At a
+        GOP boundary the reference planes may be dropped (`refs=False`) —
+        the next frame is a key and rebuilds them, the natural elastic
+        restart unit for the multichip GOP axis."""
+        st = {
+            "frame_number": self.frame_number,
+            "frames_until_key": self.frames_until_key,
+            "frames_until_altref": self.frames_until_altref,
+            "last_key_detect": self.last_key_detect,
+            "scene_holdover": self._scene_holdover,
+            "prev_is_golden": self.prev_is_golden,
+            "prev_is_altref": self.prev_is_altref,
+            "golden_frame_number": self.golden_frame_number,
+            "altref_frame_number": self.altref_frame_number,
+            "last_u": None if self.last_u is None else self.last_u.copy(),
+            "last_v": None if self.last_v is None else self.last_v.copy(),
+        }
+        at_gop_boundary = self.frames_until_key <= 1
+        if not at_gop_boundary:
+            get = lambda t: None if t is None else \
+                tuple(np.asarray(p).copy() for p in t)
+            if self.tpu is not None:
+                st["last"] = get(self.tpu.last)
+                st["golden"] = get(self.tpu.golden)
+                st["altref"] = get(self.tpu.altref)
+            else:
+                st["last"] = get(self.recon)
+                st["golden"] = (None if self.golden_y is None else
+                                (self.golden_y.copy(), self.golden_u.copy(),
+                                 self.golden_v.copy()))
+                st["altref"] = (None if self.altref_y is None else
+                                (self.altref_y.copy(), self.altref_u.copy(),
+                                 self.altref_v.copy()))
+        return st
+
+    def restore(self, st: dict) -> None:
+        """Resume from a checkpoint() dict: continues the stream with
+        byte-identical output."""
+        self.frame_number = st["frame_number"]
+        self.frames_until_key = st["frames_until_key"]
+        self.frames_until_altref = st["frames_until_altref"]
+        self.last_key_detect = st["last_key_detect"]
+        self._scene_holdover = st["scene_holdover"]
+        self.prev_is_golden = st["prev_is_golden"]
+        self.prev_is_altref = st["prev_is_altref"]
+        self.golden_frame_number = st["golden_frame_number"]
+        self.altref_frame_number = st["altref_frame_number"]
+        self.last_u = st["last_u"]
+        self.last_v = st["last_v"]
+        if st.get("last") is None:
+            return                      # GOP boundary: next frame is a key
+        import jax.numpy as jnp
+        if self.tpu is not None:
+            from vp8oclenc_tpu.ops.inter import build_ref_state_kernel
+            kern = build_ref_state_kernel(self.wrk_w, self.wrk_h)
+            put = lambda t: tuple(jnp.asarray(p) for p in t)
+            self.tpu._set_last(put(st["last"]))
+            self.recon = st["last"]
+            for name in ("golden", "altref"):
+                t = st.get(name)
+                if t is not None:
+                    dev = put(t)
+                    setattr(self.tpu, name, dev)
+                    pyr, u_pad, v_pad = kern(*dev)
+                    setattr(self.tpu, name + "_state", (pyr, u_pad, v_pad))
+        else:
+            self.recon = [p.copy() for p in st["last"]]
+            if st.get("golden") is not None:
+                self.golden_y, self.golden_u, self.golden_v = \
+                    (p.copy() for p in st["golden"])
+            if st.get("altref") is not None:
+                self.altref_y, self.altref_u, self.altref_v = \
+                    (p.copy() for p in st["altref"])
+
     # ---- inter path (backend-provided; see ops/ and spec/inter.py) ----
     def _encode_inter(self, y, u, v, seg: SegmentData, is_golden: bool,
                       is_altref: bool) -> Optional[FrameData]:
