@@ -79,8 +79,9 @@ def main():
         ]).astype(np.int32)
         fkern = build_filter_from_meta_kernel(mbw, mbh)
         t2 = time.monotonic()
-        fout = fkern(ry, ru, rv, levels_pack, meta, cur_ssim, jnp.asarray(lf))
-        jax.block_until_ready(fout)
+        fout, fstate = fkern(ry, ru, rv, levels_pack, meta, cur_ssim,
+                             jnp.asarray(lf))
+        jax.block_until_ready((fout, fstate))
         t3 = time.monotonic()
 
         wkern = build_wire_kernel(mbc)

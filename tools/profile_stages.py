@@ -32,12 +32,12 @@ def main():
         t0 = time.monotonic()
         fd, seg = enc._frame_pixels(f)
         # _frame_pixels returns as soon as kernels are dispatched; block now
-        head, body, levels_pack = fd.device_outputs[:3]
+        combined, bucket, body, levels_pack, modes4 = fd.device_outputs
         t1 = time.monotonic()
         jax.block_until_ready(levels_pack)
         jax.block_until_ready(enc.tpu.last[0])
         t2 = time.monotonic()
-        hn = np.asarray(head)
+        jax.block_until_ready(combined)
         t3 = time.monotonic()
         enc._finalize_fd(fd, seg)
         t4 = time.monotonic()

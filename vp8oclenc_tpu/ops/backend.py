@@ -59,6 +59,7 @@ class TPUBackend:
         self.last_state = None
         self.golden_state = None
         self.altref_state = None
+        self._body_guess = 1 << 16     # predicted wire-body bytes/frame
 
     def _set_last(self, recon) -> None:
         from vp8oclenc_tpu.ops.inter import build_ref_state_kernel
@@ -142,16 +143,23 @@ class TPUBackend:
                       s_.hev_threshold]) for s_ in (seg, weak)
         ]).astype(np.int32)
         fkern = build_filter_from_meta_kernel(self.mbw, self.mbh)
-        filtered = fkern(ry, ru, rv, levels_pack, meta, cur_ssim,
-                         jnp.asarray(lf))
+        filtered, filtered_state = fkern(ry, ru, rv, levels_pack, meta,
+                                         cur_ssim, jnp.asarray(lf))
 
         # serialize all host-bound data into a small fixed head + a
-        # compacted body; start the head D2H now, fetch only the body's
-        # used prefix lazily (finalize_framedata)
+        # compacted body, then pre-join the head with a predicted body
+        # prefix so the WHOLE frame's host-bound data is ONE D2H transfer
+        # (each transfer pays ~22 ms tunnel sync latency; the prediction
+        # is the previous frame's used size with headroom, wrong only on
+        # large upward jumps, which fall back to a second fetch)
+        from vp8oclenc_tpu.ops.wire import (body_capacity, head_plus_body,
+                                            pick_bucket)
         head, body, stats = build_wire_kernel(mbc)(
             levels_pack, meta, cur_ssim, replaced_dev)
+        bucket = pick_bucket(self._body_guess, body_capacity(mbc))
+        combined = head_plus_body(head, body, bucket)
         try:
-            head.copy_to_host_async()
+            combined.copy_to_host_async()
         except AttributeError:
             pass
 
@@ -168,7 +176,8 @@ class TPUBackend:
                     enc.stats.scene_changes_by_replaced += 1
                 return None                 # refs/pyramids untouched
 
-        self._set_last(filtered)
+        self.last = filtered
+        self.last_state = filtered_state   # built in the filter program
         self.pending = None
         self.filtered = True
         fd = FrameData(
@@ -177,7 +186,7 @@ class TPUBackend:
             modes=np.zeros((mbc, 16), dtype=np.int8),
             is_inter=np.ones(mbc, dtype=bool), ref_frame=None, mvs=None,
             replaced=replaced)
-        fd.device_outputs = (head, body, levels_pack, modes4)
+        fd.device_outputs = (combined, bucket, body, levels_pack, modes4)
         fd.weak_seg = weak
         enc.recon = PendingRecon(self)
         return fd
@@ -186,20 +195,26 @@ class TPUBackend:
         """Materialize a lazily-returned inter FrameData (fused path)."""
         if getattr(fd, "device_outputs", None) is None:
             return
-        from vp8oclenc_tpu.ops.wire import (unpack_head, unpack_levels,
-                                            unpack_modes4)
+        from vp8oclenc_tpu.ops.wire import (head_size, unpack_head,
+                                            unpack_levels, unpack_modes4)
         from vp8oclenc_tpu.tables import ARE4X4
-        head, body, levels_pack, modes4 = fd.device_outputs
+        combined, bucket, body, levels_pack, modes4 = fd.device_outputs
         fd.device_outputs = None
         mbc = self.mbc
-        info = unpack_head(np.asarray(head), mbc)
+        hs = head_size(mbc)
+        combined_np = np.asarray(combined)        # the frame's one D2H
+        info = unpack_head(combined_np[:hs], mbc)
         if info["esc_overflow"]:
             # >ESC_SLOTS escape coefficients in one MB: full int16 levels
             levels = np.asarray(levels_pack).astype(np.int16)
         else:
             n = info["n_active"] * 16
-            prefix = _fetch_prefix(body, n)
+            if n <= bucket:
+                prefix = combined_np[hs:hs + n]
+            else:                                 # guess too small (rare)
+                prefix = _fetch_prefix(body, n)
             levels = unpack_levels(info, prefix, mbc)
+            self._body_guess = n + (n >> 1)
         fd.levels = levels
         fd.segment_ids = info["seg"]
         fd.parts = info["part"]

@@ -62,7 +62,8 @@ def _pad_tiles(p, pad_y: int, pad_x: int):
     return jnp.pad(p, cfg, mode="edge")
 
 
-def _tile_take_patch(planes, pidx, gy, gx, ph: int, pw: int):
+def _tile_take_patch(planes, pidx, gy, gx, ph: int, pw: int,
+                     as_flat: bool = False):
     """planes (K, PH, PW) u8 padded+tile-aligned; pidx/gy/gx (..., n) int32
     (gy/gx = padded-coordinate top-left).  Returns (..., n, ph, W2) u8 with
     W2 = 16*ceil((pw+15)/16): row r, col j hold plane[gy+r, gx+j] for
@@ -113,8 +114,78 @@ def _tile_take_patch(planes, pidx, gy, gx, ph: int, pw: int):
         flat = jnp.concatenate(
             [flat, jnp.zeros(lead + (need - flat.shape[-1],), flat.dtype)],
             axis=-1)
-    return jax.lax.slice_in_dim(flat, 0, need, axis=-1) \
-        .reshape(*lead, ph, W2)
+    out = jax.lax.slice_in_dim(flat, 0, need, axis=-1)
+    return out if as_flat else out.reshape(*lead, ph, W2)
+
+
+@lru_cache(maxsize=4)
+def _sel25_matrix():
+    """(384, 1600) 0/1 selection operator: flat 12-row x 32-stride patch ->
+    the 25 search candidates' 8x8 blocks as row-major 64-vectors.
+
+    Candidate extraction as ONE MXU matmul replaces 25 strided slices of a
+    (..., 12, 32) array: those tiny minor dims get lane-padded up to 16x by
+    the TPU tiler, and the repeated padded reads/writes dominated the
+    full-resolution search stage (~44 ms of the 1080p inter kernel)."""
+    W2 = 32
+    S = np.zeros((12 * W2, 25 * 64), dtype=np.float32)
+    for dxy in range(25):
+        dx, dy = (dxy % 5) - 2, (dxy // 5) - 2
+        for a in range(8):
+            for b in range(8):
+                S[(dy + 2 + a) * W2 + (dx + 2 + b), dxy * 64 + a * 8 + b] = 1.0
+    return S
+
+
+@lru_cache(maxsize=4)
+def _qpel_filter_matrices():
+    """Six-tap quarter-pel interpolation as two constant matmuls.
+
+    FH: (544, 680) — flat 17-row x 32-stride patch -> 5 horizontal passes
+        (one per dx in -2..2), each a (17, 8) grid stored flat.
+    FV: (680, 1600) — the H-pass outputs -> all 25 candidates' 8x8 blocks.
+    The spec-mandated clip((h+64)>>7, 0, 255) rounding between the passes
+    stays as an elementwise step; each matmul accumulates exact integers in
+    f32 (|products| <= 255*128, sums < 2^18)."""
+    W2 = 32
+    FH = np.zeros((17 * W2, 5 * 136), dtype=np.float32)
+    FV = np.zeros((5 * 136, 25 * 64), dtype=np.float32)
+    for di, dx in enumerate(range(-2, 3)):
+        sx = (dx % 4 + 4) % 4
+        ox = (dx - sx) // 4
+        fx = SIXTAP_FILTERS[sx * 2]
+        base = 3 + ox - 2
+        for r in range(17):
+            for j in range(8):
+                for k in range(6):
+                    if int(fx[k]):
+                        FH[r * W2 + base + k + j, di * 136 + r * 8 + j] \
+                            += float(fx[k])
+    for cand in range(25):
+        dx, dy = (cand % 5) - 2, (cand // 5) - 2
+        di = dx + 2
+        sy = (dy % 4 + 4) % 4
+        oy = (dy - sy) // 4
+        fy = SIXTAP_FILTERS[sy * 2]
+        base = 3 + oy - 2
+        for j in range(64):
+            for k in range(6):
+                if int(fy[k]):
+                    FV[di * 136 + (base + k) * 8 + j, cand * 64 + j] \
+                        += float(fy[k])
+    return FH, FV
+
+
+def _const_matmul(x_rows, mat_np):
+    """(..., K) exact-integer rows @ (K, M) constant -> (..., M) f32 on the
+    MXU; both operands' integers are bf16-exact so the f32 result is the
+    exact integer product-sum."""
+    lead = x_rows.shape[:-1]
+    flat = x_rows.reshape(-1, x_rows.shape[-1]).astype(jnp.bfloat16)
+    out = jax.lax.dot_general(
+        flat, jnp.asarray(mat_np, jnp.bfloat16),
+        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    return out.reshape(*lead, mat_np.shape[1])
 
 
 def _taps_select(ph):
@@ -241,25 +312,29 @@ def search_level(cur, ref_pad, pads, src_vec, pixel_rate: int, penalty: bool,
     ridx = jnp.broadcast_to(jnp.arange(R)[:, None], (R, n))
     patch1 = _tile_take_patch(ref_pad, ridx,
                               cy[None] + v0y + (py0 - 2),
-                              cx[None] + v0x + (px0 - 2), 12, 12)
+                              cx[None] + v0x + (px0 - 2), 12, 12,
+                              as_flat=True)
     zero = jnp.zeros((R, n), jnp.int32)
     patch0 = _tile_take_patch(ref_pad, ridx, cy[None] + zero + (py0 - 2),
-                              cx[None] + zero + (px0 - 2), 12, 12)
+                              cx[None] + zero + (px0 - 2), 12, 12,
+                              as_flat=True)
 
-    costs, pxs, pys = [], [], []
-    for win, patch, vx0, vy0 in ((1, patch1, v0x, v0y), (0, patch0, 0, 0)):
-        refs = []
+    # all 50 candidates extracted by ONE selection matmul (see _sel25_matrix)
+    # and costed by one MXU cost matmul; the (win, cand) ordering matches
+    # the old 25+25 concat so the earliest-minimum scan is unchanged
+    patches = jnp.stack([patch1, patch0])              # (2, R, n, 384) u8
+    cand = _const_matmul(patches, _sel25_matrix())     # (2, R, n, 1600) f32
+    cur_t = jnp.tile(cur64, (1, 25))                   # (n, 1600) bf16
+    res = (cand.astype(jnp.bfloat16) - cur_t[None, None])
+    costs = T.dct_cost_rows64(res.reshape(2, R, n, 25, 64))   # (2, R, n, 25)
+    costs = jnp.moveaxis(costs, 3, 1).reshape(50, R, n)
+
+    pxs, pys = [], []
+    for vx0, vy0 in ((v0x, v0y), (0, 0)):
         for dxy in range(25):
             dx, dy = (dxy % 5) - 2, (dxy // 5) - 2
-            refs.append(jax.lax.slice_in_dim(
-                jax.lax.slice_in_dim(patch, dy + 2, dy + 10, axis=-2),
-                dx + 2, dx + 10, axis=-1).reshape(R, n, 64))
             pxs.append(jnp.broadcast_to(cx[None] + vx0 + dx, (R, n)))
             pys.append(jnp.broadcast_to(cy[None] + vy0 + dy, (R, n)))
-        # one 25-candidate MXU batch per window bounds peak HBM
-        costs.append(_block_cost_batch(cur64, jnp.stack(refs)))
-
-    costs = jnp.concatenate(costs)                             # (50, R, n)
     px_s, py_s = jnp.stack(pxs), jnp.stack(pys)
     if penalty:
         costs = costs + (jnp.abs(px_s - (cx[None] + v0x)[None])
@@ -336,54 +411,38 @@ def search_qpel(cur, ref_pad, pads, fullpel_vec, row0=0, full_h: int = 0):
     ridx = jnp.broadcast_to(jnp.arange(R)[:, None], (R, n))
     patch = _tile_take_patch(ref_pad, ridx,
                              cy[None] // 4 + fv[..., 1] + (py0 - 3),
-                             cx[None] // 4 + fv[..., 0] + (px0 - 3), 17, 17) \
-        .astype(jnp.int32)
+                             cx[None] // 4 + fv[..., 0] + (px0 - 3), 17, 17,
+                             as_flat=True)
 
-    # the 25 candidates reuse 5 horizontal six-tap passes (one per dx: the
-    # 5 vertical candidates of a column share phase_x and fullpel shift),
-    # then 25 cheap vertical passes — the reference recomputes both passes
-    # per candidate (construct, GPU_kernels.cl:563-774); the quadrant-wise
-    # construction is elementwise identical to these seamless passes
+    # all 25 candidates' six-tap interpolations as two constant MXU matmuls
+    # (H passes then V passes, _qpel_filter_matrices) with the spec rounding
+    # clip((x+64)>>7, 0, 255) between and after — elementwise identical to
+    # the reference's per-candidate construct (GPU_kernels.cl:563-774) and
+    # to the quadrant-wise construction
     # (tests/test_tpu_intra.py::test_sixtap_seamless_equals_quadrant).
-    # h is stored flat (R, n, 17*8) so the vertical pass slices contiguous
-    # 64-wide row groups — 8-wide minor dims would be lane-padded 16x.
-    h_by_dx = {}
-    for dx in range(-2, 3):
-        sx = (dx % 4 + 4) % 4
-        ox = (dx - sx) // 4
-        fx = SIXTAP_FILTERS[sx * 2]
-        base = 3 + ox - 2
-        h = sum(int(fx[k]) * patch[..., :, base + k: base + k + 8]
-                for k in range(6) if int(fx[k]) != 0)
-        h = jnp.clip((h + 64) >> 7, 0, 255)               # (R, n, 17, 8)
-        h_by_dx[dx] = h.reshape(R, n, 17 * 8)
+    FH, FV = _qpel_filter_matrices()
+    rnd = lambda x: jnp.clip(jnp.floor((x + 64.0) * (1.0 / 128.0)), 0, 255)
+    h = rnd(_const_matmul(patch, FH))                  # (R, n, 680) f32
+    v = rnd(_const_matmul(h, FV))                      # (R, n, 1600) f32
+    preds = v.astype(jnp.bfloat16).reshape(R, n, 25, 64)
 
-    preds, pxs, pys = [], [], []
+    pxs, pys = [], []
     for cand in range(25):
         dx, dy = (cand % 5) - 2, (cand // 5) - 2
-        sy = (dy % 4 + 4) % 4
-        oy = (dy - sy) // 4
-        fy = SIXTAP_FILTERS[sy * 2]
-        h = h_by_dx[dx]
-        base = 3 + oy - 2
-        # rows base+k .. base+k+8 of the (17, 8) grid = one flat 64 slice
-        v = sum(int(fy[k]) * jax.lax.slice_in_dim(
-            h, (base + k) * 8, (base + k) * 8 + 64, axis=-1)
-            for k in range(6) if int(fy[k]) != 0)
-        preds.append(jnp.clip((v + 64) >> 7, 0, 255).astype(jnp.bfloat16))
         pxs.append(jnp.broadcast_to(cx[None] + v0x + dx, (R, n)))
         pys.append(jnp.broadcast_to(cy[None] + v0y + dy, (R, n)))
 
     # candidate 25: absolute zero MV, phase 0 -> plain block compare
     zero_plane = jax.lax.slice(ref_pad, (0, py0, px0), (R, py0 + H, px0 + W))
-    preds.append(_plane_blocks8(zero_plane).reshape(R, n, 64)
-                 .astype(jnp.bfloat16))
+    zero_pred = _plane_blocks8(zero_plane).reshape(R, n, 1, 64) \
+        .astype(jnp.bfloat16)
     pxs.append(jnp.broadcast_to(cx, (R, n)))
     pys.append(jnp.broadcast_to(cy, (R, n)))
 
-    pred_s = jnp.stack(preds)          # (26, R, n, 64) bf16 (0..255 exact)
+    pred_s = jnp.concatenate([preds, zero_pred], axis=2)  # (R, n, 26, 64)
     px_s, py_s = jnp.stack(pxs), jnp.stack(pys)
-    costs = _block_cost_batch(cur64, pred_s)                # (26, R, n)
+    res = pred_s - cur64[None, :, None, :]
+    costs = jnp.moveaxis(T.dct_cost_rows64(res), 2, 0)    # (26, R, n)
     pen = (jnp.abs(px_s - (cx[None] + v0x)[None])
            + jnp.abs(py_s - (cy[None] + v0y)[None])) * (VECTOR_DIFF_WEIGHT // 2)
     pen = pen.at[25].set(0)            # zero-MV candidate carries no penalty
@@ -394,7 +453,7 @@ def search_qpel(cur, ref_pad, pads, fullpel_vec, row0=0, full_h: int = 0):
     costs = jnp.where(invalid, BIG, costs).astype(jnp.int32)
     best_x, best_y, best_cost, best_idx = _select_first_min(costs, px_s, py_s)
     best_pred = jnp.take_along_axis(
-        pred_s, best_idx[None, ..., None], axis=0)[0] \
+        pred_s, best_idx[..., None, None], axis=2)[:, :, 0] \
         .astype(jnp.int32).reshape(R, n, 8, 8)
 
     vx = best_x - cx[None]

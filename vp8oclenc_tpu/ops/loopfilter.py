@@ -212,7 +212,16 @@ def _cachehook_build_filter_from_meta_kernel(mbw: int, mbh: int):
 
     lf: (2, 5, 4) [normal/weakened][level,mbe,sbe,interior,hev] per segment;
     the weakened set is selected on-device when min SSIM > 0.95
-    (check_SSIM, /root/reference/src/vp8enc.cpp:260-261)."""
+    (check_SSIM, /root/reference/src/vp8enc.cpp:260-261).
+
+    The filtered planes double as the next frame's LAST reference, so the
+    per-reference search state (5-level padded pyramid + padded chroma,
+    ops/inter.py:build_ref_state_kernel) is built in the SAME program —
+    one device dispatch chain per frame instead of two executables with a
+    layout boundary between them."""
+    from vp8oclenc_tpu.ops.inter import (PAD_C_FULL, PAD_Y_FULL, _pad_tiles,
+                                         downsample2)
+
     @jax.jit
     def kernel(ry, ru, rv, levels_pack, meta, cur_ssim, lf):
         seg_ids = meta[:, 0]
@@ -224,9 +233,19 @@ def _cachehook_build_filter_from_meta_kernel(mbw: int, mbh: int):
         from vp8oclenc_tpu.ssim_fx import WEAKEN_FX
         weaken = jnp.min(cur_ssim) > WEAKEN_FX     # cur_ssim is int32 Q15
         lf_use = jnp.where(weaken, lf[1], lf[0])
-        return filter_planes(ry, ru, rv, seg_ids, inner,
-                             lf_use[0], lf_use[1], lf_use[2], lf_use[3],
-                             lf_use[4], mbw, mbh)
+        fy, fu, fv = filter_planes(ry, ru, rv, seg_ids, inner,
+                                   lf_use[0], lf_use[1], lf_use[2],
+                                   lf_use[3], lf_use[4], mbw, mbh)
+        pyr = []
+        plane, pad = fy, PAD_Y_FULL
+        for lvl in range(5):
+            pyr.append(_pad_tiles(plane, pad, pad))
+            if lvl < 4:
+                plane = downsample2(plane)
+                pad //= 2
+        return ((fy, fu, fv),
+                (tuple(pyr), _pad_tiles(fu, PAD_C_FULL, PAD_C_FULL),
+                 _pad_tiles(fv, PAD_C_FULL, PAD_C_FULL)))
 
     return kernel
 

@@ -116,6 +116,31 @@ def _cachehook_build_wire_kernel(mbc: int):
     return kernel
 
 
+from functools import partial
+
+
+@partial(jax.jit, static_argnums=2)
+def head_plus_body(head, body, bucket: int):
+    """head ++ body[:bucket] as ONE u8 buffer.
+
+    Every device->host readback through the tunnel pays a ~22 ms
+    synchronization latency regardless of size, so the head and the body
+    prefix are fetched in a single transfer.  `bucket` (a power-of-two
+    guess from the previous frame's used size) is static: one cached
+    executable per bucket size."""
+    return jnp.concatenate(
+        [head, jax.lax.slice_in_dim(body, 0, bucket, axis=0)])
+
+
+def pick_bucket(n_bytes: int, cap: int) -> int:
+    """Smallest power-of-two >= max(n_bytes, 64 KiB), clamped to the body
+    capacity."""
+    b = 1 << 16
+    while b < n_bytes:
+        b <<= 1
+    return min(b, cap)
+
+
 def build_wire_kernel(mbc: int):
     from vp8oclenc_tpu.utils.jaxcache import enable
     enable()
