@@ -203,10 +203,17 @@ def _taps_select(ph):
 # ---------------------------------------------------------------------------
 
 def downsample2(p):
+    """2x2 box downsample via reduce_window (the TPU's native pooling path).
+    The earlier strided-slice formulation (q[..., 0::2, 0::2] + ...) lowered
+    to four whole-plane custom-fusion gathers running at ~1.4 GB/s — 60 ms
+    per 1080p frame across the two per-frame pyramid builds."""
     h, w = p.shape[-2] // 2, p.shape[-1] // 2
     q = p[..., : h * 2, : w * 2].astype(jnp.int32)
-    s = (q[..., 0::2, 0::2] + q[..., 0::2, 1::2]
-         + q[..., 1::2, 0::2] + q[..., 1::2, 1::2])
+    lead = (1,) * (q.ndim - 2)
+    s = jax.lax.reduce_window(q, 0, jax.lax.add,
+                              window_dimensions=lead + (2, 2),
+                              window_strides=lead + (2, 2),
+                              padding="valid")
     return ((s + 2) // 4).astype(jnp.uint8)
 
 
