@@ -63,9 +63,10 @@ def main():
     key_ms = 1e3 * (time.monotonic() - t0)
 
     # full-feature configuration: -SSIM-target 93 (the reference
-    # launch_example settings, /root/reference/launch_example:5)
+    # launch_example settings, /root/reference/launch_example:5; the CLI
+    # divides the percentage by 100, config.py:config_from_args)
     enc_s = Encoder(EncoderConfig(qi_min=12, qi_max=40, gop_size=1000,
-                                  altref_range=5, ssim_target=93.0),
+                                  altref_range=5, ssim_target=0.93),
                     1920, 1080, backend="tpu")
     for t in range(n_warm):
         enc_s.encode_frame(frames[t])

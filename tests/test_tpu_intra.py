@@ -87,3 +87,18 @@ def test_sixtap_seamless_equals_quadrant():
             quad = _sixtap_interp8(sub, sx * 2, sy * 2)
             assert np.array_equal(np.asarray(seamless), np.asarray(quad)), \
                 f"dx={dx} dy={dy}"
+
+
+def test_dct_cost_rows64_spec_matches_ops():
+    """spec.transforms.dct_cost_rows64 (numpy oracle) is bit-identical to
+    ops.transforms.dct_cost_rows64 (MXU matmul path) — per-quadrant
+    >> COST_SHIFT then quad sum."""
+    import jax.numpy as jnp
+    from vp8oclenc_tpu.ops import transforms as JT
+    rng = np.random.default_rng(7)
+    rows = rng.integers(-255, 256, (33, 5, 64), np.int64)
+    want = ST.dct_cost_rows64(rows)
+    got = np.asarray(JT.dct_cost_rows64(jnp.asarray(rows, jnp.int32)))
+    assert np.array_equal(got, want)
+    got_bf = np.asarray(JT.dct_cost_rows64(jnp.asarray(rows, jnp.bfloat16)))
+    assert np.array_equal(got_bf, want)

@@ -37,7 +37,7 @@ def main():
         jax.block_until_ready(levels_pack)
         jax.block_until_ready(enc.tpu.last[0])
         t2 = time.monotonic()
-        jax.block_until_ready(combined)
+        np.asarray(combined)        # includes the head's D2H tunnel transfer
         t3 = time.monotonic()
         enc._finalize_fd(fd, seg)
         t4 = time.monotonic()

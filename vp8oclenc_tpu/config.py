@@ -41,6 +41,11 @@ class EncoderConfig:
         self.qi_max = max(0, min(127, self.qi_max))
         if self.num_partitions not in (1, 2, 4, 8):
             self.num_partitions = 1
+        if self.ssim_target >= 1.0:
+            raise ValueError(
+                f"ssim_target must be a fraction in (0, 1) (got "
+                f"{self.ssim_target}); the CLI's -SSIM-target takes percent "
+                f"and divides by 100 (config_from_args)")
         self.partitions_log2 = {1: 0, 2: 1, 4: 2, 8: 3}[self.num_partitions]
 
         qmin, qmax = self.qi_min, self.qi_max

@@ -239,28 +239,6 @@ def build_ref_pyramid(refs, H: int, W: int):
 # search
 # ---------------------------------------------------------------------------
 
-def _block_cost_8x8(cur_blocks, ref_blocks):
-    res = cur_blocks.astype(jnp.int32) - ref_blocks.astype(jnp.int32)
-    s = res.shape[:-2]
-    quads = res.reshape(*s, 2, 4, 2, 4).swapaxes(-3, -2).reshape(*s, 4, 4, 4)
-    return T.dct_weight(quads).sum(axis=-1)
-
-
-def _block_cost_batch(cur_rows64, ref_rows64):
-    """Batched candidate cost: cur_rows64 (n, 64) bf16, ref_rows64
-    (C, R, n, 64) integer-valued -> (C, R, n) int32.
-
-    All C candidates ride ONE MXU matmul (transforms.dct_cost_rows64).
-    Residuals are formed in bf16 — exact, |cur - ref| <= 255 and bf16
-    represents every integer up to 256 — and blocks stay in the contiguous
-    row-major (..., 64) layout end to end: no transposes, no 4-wide minor
-    dims for the TPU tiler to pad 32x.  The old one-candidate-at-a-time
-    int32 evaluation with (R, n, 8, 8) intermediates dominated the fused
-    kernel's runtime (~85% of device time at 1080p)."""
-    res = cur_rows64[None, None] - ref_rows64.astype(jnp.bfloat16)
-    return T.dct_cost_rows64(res)
-
-
 def _select_first_min(cost_stack, px_stack, py_stack):
     """Earliest-minimum candidate selection (matches a strict `<` scan).
     cost_stack (C, R, n) i32; px/py (C, R, n) -> (best_x, best_y, best_cost,

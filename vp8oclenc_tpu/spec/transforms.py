@@ -184,21 +184,16 @@ def dct_weight(residual: np.ndarray) -> np.ndarray:
     return dct_cost(residual.reshape(*residual.shape[:-2], 16))
 
 
-def dct_cost_block64(rows64: np.ndarray) -> np.ndarray:
-    """8x8-block ME cost from row-major (..., 64) residual rows: the four
-    quadrants' weighted |DCT| sums are added BEFORE the single
-    >> COST_SHIFT (one floor per block instead of one per quadrant).
-
-    This is the normative cost of the hierarchical search (any metric is
-    encoder's choice; the reference's is GPU_kernels.cl:85-190).  The
-    block-granular shift lets the TPU side evaluate the whole cost as one
-    (N, 64) x (64, 64) MXU matmul with a plain full-row reduction — the
-    per-quadrant variant needed 16-lane segment reductions whose tiny
-    minor dims the TPU tiler pads 8-16x (ops/transforms.dct_cost_rows64)."""
+def dct_cost_rows64(rows64: np.ndarray) -> np.ndarray:
+    """8x8-block ME cost from row-major (..., 64) residual rows: each 4x4
+    quadrant's weighted |DCT| sum is shifted (>> COST_SHIFT) separately and
+    the four quadrant costs added — exactly what the TPU search evaluates
+    (ops/transforms.dct_cost_rows64) and what spec/motion.py scores per
+    quadrant.  Numpy oracle for parity tests."""
     from vp8oclenc_tpu.tables import COST_M16, COST_SHIFT
     lead = rows64.shape[:-1]
     q = rows64.reshape(*lead, 2, 4, 2, 4).transpose(
         *range(len(lead)), -4, -2, -3, -1).reshape(*lead, 4, 16)
     c = np.abs(q.astype(np.int64) @ COST_M16.T)
     s = 4 * c.sum(axis=-1) - 3 * c[..., 0]          # (..., 4) per-quad
-    return (s.sum(axis=-1) >> COST_SHIFT).astype(np.int64)
+    return ((s >> COST_SHIFT).sum(axis=-1)).astype(np.int64)
