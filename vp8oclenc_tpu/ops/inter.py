@@ -289,7 +289,7 @@ def search_level(cur, ref_pad, pads, src_vec, pixel_rate: int, penalty: bool,
         v0 = jnp.sign(v) * (jnp.abs(v) // pixel_rate)
     v0x, v0y = v0[..., 0], v0[..., 1]
 
-    cur64 = _plane_blocks8(cur).reshape(n, 64).astype(jnp.bfloat16)
+    cur_blocks = _plane_blocks8(cur).reshape(n, 64)
 
     # --- both windows' 8x8 candidate blocks from two 12x12 tile-takes:
     # window 1 = +-2 around the inherited vector, window 2 = +-2 around
@@ -304,15 +304,24 @@ def search_level(cur, ref_pad, pads, src_vec, pixel_rate: int, penalty: bool,
                               cx[None] + zero + (px0 - 2), 12, 12,
                               as_flat=True)
 
-    # all 50 candidates extracted by ONE selection matmul (see _sel25_matrix)
-    # and costed by one MXU cost matmul; the (win, cand) ordering matches
-    # the old 25+25 concat so the earliest-minimum scan is unchanged
+    # all 50 candidates extracted + costed on the MXU; the (win, cand)
+    # ordering matches the old 25+25 concat so the earliest-minimum scan is
+    # unchanged.  On a real TPU the extraction/cost runs as one VMEM-
+    # resident Pallas kernel (ops/pallas_kernels.fullpel_costs) — the XLA
+    # formulation below materializes ~1.25 GB of candidate intermediates in
+    # HBM per 1080p frame and dominated device time.
     patches = jnp.stack([patch1, patch0])              # (2, R, n, 384) u8
-    cand = _const_matmul(patches, _sel25_matrix())     # (2, R, n, 1600) f32
-    cur_t = jnp.tile(cur64, (1, 25))                   # (n, 1600) bf16
-    res = (cand.astype(jnp.bfloat16) - cur_t[None, None])
-    costs = T.dct_cost_rows64(res.reshape(2, R, n, 25, 64))   # (2, R, n, 25)
-    costs = jnp.moveaxis(costs, 3, 1).reshape(50, R, n)
+    from vp8oclenc_tpu.ops import pallas_kernels as PK
+    pmode = PK.mode()
+    if pmode != "off" and R == 3:
+        costs = PK.fullpel_costs(patches, cur_blocks.astype(jnp.uint8),
+                                 interpret=(pmode == "interpret"))
+    else:
+        cand = _const_matmul(patches, _sel25_matrix())  # (2, R, n, 1600) f32
+        cur_t = jnp.tile(cur_blocks.astype(jnp.bfloat16), (1, 25))
+        res = (cand.astype(jnp.bfloat16) - cur_t[None, None])
+        costs = T.dct_cost_rows64(res.reshape(2, R, n, 25, 64))
+    costs = jnp.moveaxis(costs, 3, 1).reshape(50, R, n)  # (2, R, n, 25) in
 
     pxs, pys = [], []
     for vx0, vy0 in ((v0x, v0y), (0, 0)):
@@ -388,7 +397,7 @@ def search_qpel(cur, ref_pad, pads, fullpel_vec, row0=0, full_h: int = 0):
     v0 = fullpel_vec.reshape(R, n, 2) * 4
     v0x, v0y = v0[..., 0], v0[..., 1]
 
-    cur64 = _plane_blocks8(cur).reshape(n, 64).astype(jnp.bfloat16)
+    cur_blocks = _plane_blocks8(cur).reshape(n, 64)
 
     # one 17x17 patch per block: fullpel base c+v0, margin -3..+13
     # (interp apron -2..+3 per 4x4 half, +-1 fullpel candidate shift)
@@ -399,47 +408,75 @@ def search_qpel(cur, ref_pad, pads, fullpel_vec, row0=0, full_h: int = 0):
                              cx[None] // 4 + fv[..., 0] + (px0 - 3), 17, 17,
                              as_flat=True)
 
-    # all 25 candidates' six-tap interpolations as two constant MXU matmuls
-    # (H passes then V passes, _qpel_filter_matrices) with the spec rounding
-    # clip((x+64)>>7, 0, 255) between and after — elementwise identical to
-    # the reference's per-candidate construct (GPU_kernels.cl:563-774) and
-    # to the quadrant-wise construction
-    # (tests/test_tpu_intra.py::test_sixtap_seamless_equals_quadrant).
-    FH, FV = _qpel_filter_matrices()
-    rnd = lambda x: jnp.clip(jnp.floor((x + 64.0) * (1.0 / 128.0)), 0, 255)
-    h = rnd(_const_matmul(patch, FH))                  # (R, n, 680) f32
-    v = rnd(_const_matmul(h, FV))                      # (R, n, 1600) f32
-    preds = v.astype(jnp.bfloat16).reshape(R, n, 25, 64)
-
-    pxs, pys = [], []
-    for cand in range(25):
-        dx, dy = (cand % 5) - 2, (cand // 5) - 2
-        pxs.append(jnp.broadcast_to(cx[None] + v0x + dx, (R, n)))
-        pys.append(jnp.broadcast_to(cy[None] + v0y + dy, (R, n)))
-
     # candidate 25: absolute zero MV, phase 0 -> plain block compare
+    # (GPU_kernels.cl:1144-1150); ordered after the 25 refinement
+    # candidates, so it wins only on strictly smaller cost
     zero_plane = jax.lax.slice(ref_pad, (0, py0, px0), (R, py0 + H, px0 + W))
-    zero_pred = _plane_blocks8(zero_plane).reshape(R, n, 1, 64) \
-        .astype(jnp.bfloat16)
-    pxs.append(jnp.broadcast_to(cx, (R, n)))
-    pys.append(jnp.broadcast_to(cy, (R, n)))
+    zero64 = _plane_blocks8(zero_plane).reshape(R, n, 64)
 
-    pred_s = jnp.concatenate([preds, zero_pred], axis=2)  # (R, n, 26, 64)
-    px_s, py_s = jnp.stack(pxs), jnp.stack(pys)
-    res = pred_s - cur64[None, :, None, :]
-    costs = jnp.moveaxis(T.dct_cost_rows64(res), 2, 0)    # (26, R, n)
-    pen = (jnp.abs(px_s - (cx[None] + v0x)[None])
-           + jnp.abs(py_s - (cy[None] + v0y)[None])) * (VECTOR_DIFF_WEIGHT // 2)
-    pen = pen.at[25].set(0)            # zero-MV candidate carries no penalty
-    costs = costs + pen
-    gy = py_s + row0 * 4
-    invalid = (px_s < 0) | (px_s > W * 4 - 32) | (gy < 0) \
-        | (gy > full_h * 4 - 32)
-    costs = jnp.where(invalid, BIG, costs).astype(jnp.int32)
-    best_x, best_y, best_cost, best_idx = _select_first_min(costs, px_s, py_s)
-    best_pred = jnp.take_along_axis(
-        pred_s, best_idx[..., None, None], axis=2)[:, :, 0] \
-        .astype(jnp.int32).reshape(R, n, 8, 8)
+    from vp8oclenc_tpu.ops import pallas_kernels as PK
+    pmode = PK.mode()
+    if pmode != "off" and R == 3 and isinstance(row0, int) and row0 == 0 \
+            and full_h == H:
+        # Pallas: interpolation + cost + penalty/validity + first-min select
+        # of the 25 refinement candidates in one VMEM-resident kernel; the
+        # zero-MV candidate merges here
+        cost25, idx25, pred25 = PK.qpel_search25(
+            patch, cur_blocks.astype(jnp.uint8), v0.astype(jnp.int32),
+            nbx, W, full_h, interpret=(pmode == "interpret"))
+        zcost = T.dct_cost_rows64(zero64.astype(jnp.bfloat16)
+                                  - cur_blocks.astype(jnp.bfloat16)[None])
+        zwin = zcost.astype(jnp.int32) < cost25
+        d25 = np.arange(25, dtype=np.int32)
+        dx_t = jnp.asarray(d25 % 5 - 2)
+        dy_t = jnp.asarray(d25 // 5 - 2)
+        best_x = jnp.where(zwin, cx[None], cx[None] + v0x + dx_t[idx25])
+        best_y = jnp.where(zwin, cy[None], cy[None] + v0y + dy_t[idx25])
+        best_cost = jnp.where(zwin, zcost, cost25)
+        best_pred = jnp.where(zwin[..., None], zero64, pred25) \
+            .reshape(R, n, 8, 8)
+    else:
+        # XLA fallback (CPU backend, row-sharded search): all 25 candidates'
+        # six-tap interpolations as two constant MXU matmuls
+        # (H passes then V passes, _qpel_filter_matrices) with the spec
+        # rounding clip((x+64)>>7, 0, 255) between and after — elementwise
+        # identical to the reference's per-candidate construct
+        # (GPU_kernels.cl:563-774) and to the quadrant-wise construction
+        # (tests/test_tpu_intra.py::test_sixtap_seamless_equals_quadrant).
+        cur64 = cur_blocks.astype(jnp.bfloat16)
+        FH, FV = _qpel_filter_matrices()
+        rnd = lambda x: jnp.clip(jnp.floor((x + 64.0) * (1.0 / 128.0)), 0, 255)
+        h = rnd(_const_matmul(patch, FH))                  # (R, n, 680) f32
+        v = rnd(_const_matmul(h, FV))                      # (R, n, 1600) f32
+        preds = v.astype(jnp.bfloat16).reshape(R, n, 25, 64)
+
+        pxs, pys = [], []
+        for cand in range(25):
+            dx, dy = (cand % 5) - 2, (cand // 5) - 2
+            pxs.append(jnp.broadcast_to(cx[None] + v0x + dx, (R, n)))
+            pys.append(jnp.broadcast_to(cy[None] + v0y + dy, (R, n)))
+        zero_pred = zero64.reshape(R, n, 1, 64).astype(jnp.bfloat16)
+        pxs.append(jnp.broadcast_to(cx, (R, n)))
+        pys.append(jnp.broadcast_to(cy, (R, n)))
+
+        pred_s = jnp.concatenate([preds, zero_pred], axis=2)  # (R, n, 26, 64)
+        px_s, py_s = jnp.stack(pxs), jnp.stack(pys)
+        res = pred_s - cur64[None, :, None, :]
+        costs = jnp.moveaxis(T.dct_cost_rows64(res), 2, 0)    # (26, R, n)
+        pen = (jnp.abs(px_s - (cx[None] + v0x)[None])
+               + jnp.abs(py_s - (cy[None] + v0y)[None])) \
+            * (VECTOR_DIFF_WEIGHT // 2)
+        pen = pen.at[25].set(0)        # zero-MV candidate carries no penalty
+        costs = costs + pen
+        gy = py_s + row0 * 4
+        invalid = (px_s < 0) | (px_s > W * 4 - 32) | (gy < 0) \
+            | (gy > full_h * 4 - 32)
+        costs = jnp.where(invalid, BIG, costs).astype(jnp.int32)
+        best_x, best_y, best_cost, best_idx = \
+            _select_first_min(costs, px_s, py_s)
+        best_pred = jnp.take_along_axis(
+            pred_s, best_idx[..., None, None], axis=2)[:, :, 0] \
+            .astype(jnp.int32).reshape(R, n, 8, 8)
 
     vx = best_x - cx[None]
     vy = best_y - cy[None]
