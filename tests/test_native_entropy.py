@@ -92,3 +92,20 @@ def test_native_mb_headers_match_python(monkeypatch):
     b = run(True)
     for i, (x, y_) in enumerate(zip(a, b)):
         assert x == y_, f"frame {i}: native vs python header bytes differ"
+
+
+def test_native_frame_strength_matches_numpy():
+    from vp8oclenc_tpu.native import packer as native
+    from vp8oclenc_tpu.pipeline.segments import _loopfilter_strength_numpy
+    if not native.available():
+        import pytest
+        pytest.skip("native toolchain unavailable")
+    rng = np.random.default_rng(11)
+    for h, w in ((16, 16), (80, 96), (144, 176), (67, 131)):
+        y = rng.integers(0, 256, (h, w), np.uint8)
+        assert native.frame_strength(y) == _loopfilter_strength_numpy(y)
+    # gradient + flat frames (edge magnitudes)
+    grad = np.tile(np.arange(256, dtype=np.uint8), (64, 1))[:, :200]
+    assert native.frame_strength(grad) == _loopfilter_strength_numpy(grad)
+    flat = np.full((64, 64), 200, np.uint8)
+    assert native.frame_strength(flat) == _loopfilter_strength_numpy(flat)

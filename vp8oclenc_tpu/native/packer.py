@@ -16,6 +16,7 @@ _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, "packer.cpp")
 _SRC2 = os.path.join(_HERE, "tokenizer.cpp")
 _SRC3 = os.path.join(_HERE, "headers.cpp")
+_SRC4 = os.path.join(_HERE, "strength.cpp")
 _SO = os.path.join(_HERE, "_packer.so")
 
 _lib = None
@@ -25,14 +26,14 @@ _tried = False
 def _build() -> bool:
     try:
         src_mtime = max(os.path.getmtime(_SRC), os.path.getmtime(_SRC2),
-                        os.path.getmtime(_SRC3))
+                        os.path.getmtime(_SRC3), os.path.getmtime(_SRC4))
         if os.path.exists(_SO) and os.path.getmtime(_SO) >= src_mtime:
             return True
         with tempfile.TemporaryDirectory() as td:
             tmp = os.path.join(td, "_packer.so")
             subprocess.run(
                 ["g++", "-O3", "-shared", "-fPIC", "-o", tmp, _SRC, _SRC2,
-                 _SRC3],
+                 _SRC3, _SRC4],
                 check=True, capture_output=True)
             os.replace(tmp, _SO)
         return True
@@ -61,6 +62,9 @@ def _load():
                                     ctypes.c_void_p, ctypes.c_void_p,
                                     ctypes.c_void_p, ctypes.c_void_p,
                                     ctypes.c_void_p]
+    lib.vp8_frame_strength.restype = None
+    lib.vp8_frame_strength.argtypes = [ctypes.c_void_p, ctypes.c_int,
+                                       ctypes.c_int, ctypes.c_void_p]
     lib.vp8_mb_headers.restype = ctypes.c_int64
     lib.vp8_mb_headers.argtypes = [ctypes.c_int] * 4 + \
         [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int] + \
@@ -84,6 +88,17 @@ def pack_bools(probs: np.ndarray, bits: np.ndarray) -> bytes:
     ln = lib.vp8_pack_bools(probs.ctypes.data, bits.ctypes.data, n,
                             out.ctypes.data)
     return out[:ln].tobytes()
+
+
+def frame_strength(y: np.ndarray):
+    """(reductor, sharpness) of a (h, w) uint8 luma plane — exact
+    counterpart of pipeline/segments.loopfilter_strength."""
+    lib = _load()
+    y = np.ascontiguousarray(y, dtype=np.uint8)
+    out = np.zeros(2, dtype=np.int32)
+    lib.vp8_frame_strength(y.ctypes.data, y.shape[0], y.shape[1],
+                           out.ctypes.data)
+    return int(out[0]), int(out[1])
 
 
 def pack_tokens(records: np.ndarray, probs: np.ndarray) -> bytes:

@@ -60,6 +60,7 @@ class TPUBackend:
         self.golden_state = None
         self.altref_state = None
         self._body_guess = 1 << 16     # predicted wire-body bytes/frame
+        self._buckets_warm = False
 
     def _set_last(self, recon) -> None:
         from vp8oclenc_tpu.ops.inter import build_ref_state_kernel
@@ -68,13 +69,25 @@ class TPUBackend:
             self.wrk_w, self.wrk_h)(*recon)
         self.last_state = (pyr, u_pad, v_pad)
 
+    def _split_yuv(self, yuv_dev):
+        """Device-side slice of a prefetched flat yuv buffer into planes."""
+        ny = self.wrk_h * self.wrk_w
+        nc = (self.wrk_h // 2) * (self.wrk_w // 2)
+        return (yuv_dev[:ny].reshape(self.wrk_h, self.wrk_w),
+                yuv_dev[ny:ny + nc].reshape(self.wrk_h // 2, self.wrk_w // 2),
+                yuv_dev[ny + nc:].reshape(self.wrk_h // 2, self.wrk_w // 2))
+
     # -------------------------------------------------- intra
-    def encode_intra_frame(self, y, u, v, seg):
+    def encode_intra_frame(self, y, u, v, seg, yuv_dev=None):
         from vp8oclenc_tpu.ops.intra import build_intra_kernel
         kern = build_intra_kernel(self.wrk_w, self.wrk_h)
         sid = 0
+        if yuv_dev is not None:
+            yd, ud, vd = self._split_yuv(yuv_dev)
+        else:
+            yd, ud, vd = jnp.asarray(y), jnp.asarray(u), jnp.asarray(v)
         ry, ru, rv, lv_y, lv_uv, modes = kern(
-            jnp.asarray(y), jnp.asarray(u), jnp.asarray(v),
+            yd, ud, vd,
             jnp.int32(int(seg.y_dc_q[sid])), jnp.int32(int(seg.y_ac_q[sid])),
             jnp.int32(int(seg.uv_dc_q[sid])), jnp.int32(int(seg.uv_ac_q[sid])))
         self.pending = (ry, ru, rv)
@@ -86,7 +99,8 @@ class TPUBackend:
         return levels, modes, PendingRecon(self)
 
     # -------------------------------------------------- inter
-    def encode_inter_frame(self, enc, y, u, v, seg, is_golden, is_altref):
+    def encode_inter_frame(self, enc, y, u, v, seg, is_golden, is_altref,
+                           yuv_dev=None):
         """One fused device chain: pixel kernel (with the batched SSIM
         intra-replacement when -SSIM-target is on) -> loop filter -> wire
         pack.  Host-bound data leaves as a small head (async) + the body's
@@ -117,8 +131,10 @@ class TPUBackend:
         tfx3 = target_fx(cfg.ssim_target) if ssim_on else -1
         kern = build_inter_kernel(self.wrk_w, self.wrk_h, ssim_enabled=ssim_on)
         # one H2D transfer for the whole frame (the tunnel charges a fixed
-        # latency per transfer; three plane uploads would pay it three times)
-        yuv = jnp.asarray(np.concatenate([y.ravel(), u.ravel(), v.ravel()]))
+        # latency per transfer; three plane uploads would pay it three
+        # times); encode_frames prefetches this upload one frame ahead
+        yuv = yuv_dev if yuv_dev is not None else jnp.asarray(
+            np.concatenate([y.ravel(), u.ravel(), v.ravel()]))
         levels_pack, meta, cur_ssim, ry, ru, rv, modes4, replaced_dev = \
             kern.yuv(
                 yuv,
@@ -153,7 +169,10 @@ class TPUBackend:
         # is the previous frame's used size with headroom, wrong only on
         # large upward jumps, which fall back to a second fetch)
         from vp8oclenc_tpu.ops.wire import (body_capacity, head_plus_body,
-                                            pick_bucket)
+                                            pick_bucket, warm_buckets)
+        if not self._buckets_warm:
+            warm_buckets(mbc)          # one-time: all bucket executables
+            self._buckets_warm = True
         head, body, stats = build_wire_kernel(mbc)(
             levels_pack, meta, cur_ssim, replaced_dev)
         bucket = pick_bucket(self._body_guess, body_capacity(mbc))

@@ -132,6 +132,24 @@ def head_plus_body(head, body, bucket: int):
         [head, jax.lax.slice_in_dim(body, 0, bucket, axis=0)])
 
 
+def warm_buckets(mbc: int) -> None:
+    """Pre-compile head_plus_body for every reachable bucket size so a
+    mid-stream body-size jump never stalls a frame on a fresh XLA compile
+    (each costs ~0.5-0.8 s through the remote tunnel)."""
+    hs = head_size(mbc)
+    cap = body_capacity(mbc)
+    head = jnp.zeros(hs, jnp.uint8)
+    body = jnp.zeros(cap, jnp.uint8)
+    b = 1 << 16
+    outs = []
+    while True:
+        outs.append(head_plus_body(head, body, min(b, cap)))
+        if b >= cap:
+            break
+        b <<= 1
+    jax.block_until_ready(outs)
+
+
 def pick_bucket(n_bytes: int, cap: int) -> int:
     """Smallest power-of-two >= max(n_bytes, 64 KiB), clamped to the body
     capacity."""

@@ -129,7 +129,8 @@ class Encoder:
         return False
 
     # ---- keyframe path ----
-    def _encode_key(self, y, u, v, seg: SegmentData) -> FrameData:
+    def _encode_key(self, y, u, v, seg: SegmentData,
+                    yuv_dev=None) -> FrameData:
         self.frames_until_key = self.cfg.gop_size
         self.frames_until_altref = self.cfg.altref_range
         self.last_key_detect = self.frame_number
@@ -137,7 +138,8 @@ class Encoder:
         self.altref_frame_number = self.frame_number
 
         if self.tpu is not None:
-            levels, modes, recon = self.tpu.encode_intra_frame(y, u, v, seg)
+            levels, modes, recon = self.tpu.encode_intra_frame(
+                y, u, v, seg, yuv_dev=yuv_dev)
             self.recon = recon                  # lazy device-backed
         else:
             levels, modes, recon = SPEC_INTRA.encode_intra_frame(y, u, v, seg)
@@ -236,13 +238,34 @@ class Encoder:
         self._finalize_fd(fd, seg)
         return self._finish_frame(fd, seg)
 
+    def _upload_frame(self, frame: Frame):
+        """Host prep + device upload for one frame: (padded Frame, device
+        yuv buffer or None).  Issued one frame ahead in encode_frames so
+        the ~3 MB H2D streams through the tunnel while the previous
+        frame's device chain runs (the tunnel moves ~26 MB/s: at 1080p the
+        upload is the single largest per-frame cost)."""
+        padded = pad_frame(frame)
+        dev = None
+        if self.tpu is not None:
+            import jax.numpy as jnp
+            dev = jnp.asarray(np.concatenate(
+                [padded.y.ravel(), padded.u.ravel(), padded.v.ravel()]))
+        return padded, dev
+
     def encode_frames(self, frames):
-        """Pipelined stream encode: the host entropy/packing of frame N
-        overlaps the device pixel kernels of frame N+1 (the TPU analog of
-        the reference's boolcoder-vs-GPU overlap, changelog.txt:29)."""
+        """Pipelined stream encode: the host entropy/packing of frame N-1
+        and the H2D upload of frame N+1 both overlap the device pixel
+        kernels of frame N (the TPU analog of the reference's
+        boolcoder-vs-GPU overlap, changelog.txt:29, plus tunnel-aware
+        upload prefetch)."""
+        it = iter(frames)
         pending = None
-        for frame in frames:
-            nxt = self._frame_pixels(frame)
+        f = next(it, None)
+        pre = self._upload_frame(f) if f is not None else None
+        while pre is not None:
+            nxt = self._frame_pixels(pre[0], yuv_dev=pre[1], padded=True)
+            f = next(it, None)
+            pre = self._upload_frame(f) if f is not None else None
             if pending is not None:
                 self._finalize_fd(pending[0], pending[1])
                 yield self._finish_frame(*pending)
@@ -255,9 +278,9 @@ class Encoder:
         if self.tpu is not None:
             self.tpu.finalize_framedata(fd, seg)
 
-    def _frame_pixels(self, frame: Frame):
-        padded = pad_frame(frame)
-        y, u, v = padded.y, padded.u, padded.v
+    def _frame_pixels(self, frame: Frame, yuv_dev=None, padded=False):
+        p = frame if padded else pad_frame(frame)
+        y, u, v = p.y, p.u, p.v
 
         self.frames_until_key -= 1
         self.frames_until_altref -= 1
@@ -274,15 +297,16 @@ class Encoder:
 
         if is_key:
             seg = prepare_segments(self.cfg, y, True, is_altref)
-            fd = self._encode_key(y, u, v, seg)
+            fd = self._encode_key(y, u, v, seg, yuv_dev=yuv_dev)
         else:
             seg = prepare_segments(self.cfg, y, False, is_altref)
-            fd = self._encode_inter(y, u, v, seg, is_golden, is_altref)
+            fd = self._encode_inter(y, u, v, seg, is_golden, is_altref,
+                                    yuv_dev=yuv_dev)
             if fd is None:   # redo as key (bad inter result)
                 is_key = is_golden = is_altref = True
                 seg = prepare_segments(self.cfg, y, True, is_altref,
                                        strength=seg.raw_strength)
-                fd = self._encode_key(y, u, v, seg)
+                fd = self._encode_key(y, u, v, seg, yuv_dev=yuv_dev)
 
         self._loop_filter(fd, seg)
 
@@ -394,10 +418,11 @@ class Encoder:
 
     # ---- inter path (backend-provided; see ops/ and spec/inter.py) ----
     def _encode_inter(self, y, u, v, seg: SegmentData, is_golden: bool,
-                      is_altref: bool) -> Optional[FrameData]:
+                      is_altref: bool, yuv_dev=None) -> Optional[FrameData]:
         if self.tpu is not None:
             return self.tpu.encode_inter_frame(self, y, u, v, seg,
-                                               is_golden, is_altref)
+                                               is_golden, is_altref,
+                                               yuv_dev=yuv_dev)
         from vp8oclenc_tpu.spec import inter as SPEC_INTER
         return SPEC_INTER.encode_inter_frame(self, y, u, v, seg,
                                              is_golden, is_altref)
