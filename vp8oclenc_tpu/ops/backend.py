@@ -60,7 +60,10 @@ class TPUBackend:
         self.golden_state = None
         self.altref_state = None
         self._body_guess = 1 << 16     # predicted wire-body bytes/frame
+        self._key_body_guess = wrk_w * wrk_h   # keyframe bodies are dense
         self._buckets_warm = False
+        self._key_meta = None          # cached constant meta for keyframes
+        self._key_ssim = None
 
     def _set_last(self, recon) -> None:
         from vp8oclenc_tpu.ops.inter import build_ref_state_kernel
@@ -79,24 +82,63 @@ class TPUBackend:
 
     # -------------------------------------------------- intra
     def encode_intra_frame(self, y, u, v, seg, yuv_dev=None):
+        """Device-chained keyframe: intra wavefront -> loop filter +
+        next-frame ref state -> compact wire pack, all dispatched async;
+        host-bound data leaves as ONE combined head+body transfer exactly
+        like the inter path (the raw int16 levels are ~6.5 MB at 1080p —
+        ~260 ms through the tunnel — while the int8-compacted body is
+        about half that, and the transfer overlaps later dispatch)."""
         from vp8oclenc_tpu.ops.intra import build_intra_kernel
+        from vp8oclenc_tpu.ops.loopfilter import build_filter_from_meta_kernel
+        from vp8oclenc_tpu.ops.wire import (body_capacity, build_wire_kernel,
+                                            head_plus_body, pick_bucket,
+                                            warm_buckets)
+        from vp8oclenc_tpu.tables import ARE4X4, INTRA_SEGMENT
+
         kern = build_intra_kernel(self.wrk_w, self.wrk_h)
         sid = 0
         if yuv_dev is not None:
             yd, ud, vd = self._split_yuv(yuv_dev)
         else:
             yd, ud, vd = jnp.asarray(y), jnp.asarray(u), jnp.asarray(v)
-        ry, ru, rv, lv_y, lv_uv, modes = kern(
+        ry, ru, rv, levels_pack, modes = kern(
             yd, ud, vd,
             jnp.int32(int(seg.y_dc_q[sid])), jnp.int32(int(seg.y_ac_q[sid])),
             jnp.int32(int(seg.uv_dc_q[sid])), jnp.int32(int(seg.uv_ac_q[sid])))
-        self.pending = (ry, ru, rv)
-        levels = np.zeros((self.mbc, 25, 16), dtype=np.int16)
-        lv_y, lv_uv, modes = np.asarray(lv_y), np.asarray(lv_uv), np.asarray(modes)
-        levels[:, :16] = lv_y
-        levels[:, 16:20] = lv_uv[0]
-        levels[:, 20:24] = lv_uv[1]
-        return levels, modes, PendingRecon(self)
+
+        mbc = self.mbc
+        if self._key_meta is None:
+            meta = np.zeros((mbc, 11), np.int32)
+            meta[:, 0] = INTRA_SEGMENT
+            meta[:, 1] = ARE4X4
+            self._key_meta = jnp.asarray(meta)
+            self._key_ssim = jnp.zeros((mbc,), jnp.int32)
+        lf = np.stack([np.stack([seg.loop_filter_level, seg.mbedge_limit,
+                                 seg.sub_bedge_limit, seg.interior_limit,
+                                 seg.hev_threshold])] * 2).astype(np.int32)
+        fkern = build_filter_from_meta_kernel(self.mbw, self.mbh)
+        filtered, filtered_state = fkern(ry, ru, rv, levels_pack,
+                                         self._key_meta, self._key_ssim,
+                                         jnp.asarray(lf))
+
+        if not self._buckets_warm:
+            warm_buckets(mbc)
+            self._buckets_warm = True
+        head, body, _stats = build_wire_kernel(mbc)(
+            levels_pack, self._key_meta, self._key_ssim, jnp.int32(0))
+        bucket = pick_bucket(self._key_body_guess, body_capacity(mbc))
+        combined = head_plus_body(head, body, bucket)
+        for buf in (combined, modes):
+            try:
+                buf.copy_to_host_async()
+            except AttributeError:
+                pass
+
+        self.last = filtered
+        self.last_state = filtered_state
+        self.pending = None
+        self.filtered = True
+        return (combined, bucket, body, levels_pack, modes), PendingRecon(self)
 
     # -------------------------------------------------- inter
     def encode_inter_frame(self, enc, y, u, v, seg, is_golden, is_altref,
@@ -211,7 +253,8 @@ class TPUBackend:
         return fd
 
     def finalize_framedata(self, fd, seg) -> None:
-        """Materialize a lazily-returned inter FrameData (fused path)."""
+        """Materialize a lazily-returned FrameData (key or inter): the one
+        combined head+body D2H, unpack, escape patching."""
         if getattr(fd, "device_outputs", None) is None:
             return
         from vp8oclenc_tpu.ops.wire import (head_size, unpack_head,
@@ -233,8 +276,17 @@ class TPUBackend:
             else:                                 # guess too small (rare)
                 prefix = _fetch_prefix(body, n)
             levels = unpack_levels(info, prefix, mbc)
-            self._body_guess = n + (n >> 1)
+            if fd.is_key:
+                self._key_body_guess = n + (n >> 3)
+            else:
+                self._body_guess = n + (n >> 1)
         fd.levels = levels
+        if fd.is_key:
+            # seg/part/ref/mvs constants were set by _encode_key; the wire
+            # meta carried the same values.  Real bmodes ride a separate
+            # small async buffer.
+            fd.modes = np.asarray(modes4)
+            return
         fd.segment_ids = info["seg"]
         fd.parts = info["part"]
         fd.is_inter = info["part"] != ARE4X4

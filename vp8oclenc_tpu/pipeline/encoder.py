@@ -137,15 +137,18 @@ class Encoder:
         self.golden_frame_number = self.frame_number
         self.altref_frame_number = self.frame_number
 
+        dev_out = None
         if self.tpu is not None:
-            levels, modes, recon = self.tpu.encode_intra_frame(
+            dev_out, recon = self.tpu.encode_intra_frame(
                 y, u, v, seg, yuv_dev=yuv_dev)
             self.recon = recon                  # lazy device-backed
+            levels = modes = None               # filled by finalize
         else:
-            levels, modes, recon = SPEC_INTRA.encode_intra_frame(y, u, v, seg)
+            levels25, modes, recon = SPEC_INTRA.encode_intra_frame(y, u, v, seg)
+            levels = levels25
             self.recon = [r.copy() for r in recon]
         mbc = self.mbc
-        return FrameData(
+        fd = FrameData(
             mbw=self.mbw, mbh=self.mbh, is_key=True, is_golden=True,
             is_altref=True, levels=levels,
             parts=np.full(mbc, ARE4X4, dtype=np.int32),
@@ -154,6 +157,9 @@ class Encoder:
             is_inter=np.zeros(mbc, dtype=bool),
             ref_frame=np.full(mbc, LAST, dtype=np.int32),
             mvs=np.zeros((mbc, 4, 2), dtype=np.int16))
+        if dev_out is not None:
+            fd.device_outputs = dev_out
+        return fd
 
     # ---- entropy + assembly (shared) ----
     def _finish_frame(self, fd: FrameData, seg: SegmentData) -> bytes:
