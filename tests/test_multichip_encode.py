@@ -48,3 +48,59 @@ def test_multichip_stream_equals_sequential():
     for i, payload in enumerate(got):
         out = dec.decode_frame(payload)
         assert out.y.shape == (h, w)
+
+
+def test_multichip_stream_equals_sequential_ssim_target():
+    """VERDICT r3 #2: the SSIM quality controller (fused per-MB intra
+    replacement + weaken rule) on the mesh path, byte-identical to the
+    sequential encoder with -SSIM-target on."""
+    from vp8oclenc_tpu.parallel.encoder import encode_frames_multichip
+    from vp8oclenc_tpu.pipeline.encoder import Encoder
+    from vp8oclenc_tpu.decoder.vp8dec import VP8Decoder
+
+    w, h = 128, 128
+    n = 6
+    cfg = dict(qi_min=10, qi_max=100, gop_size=6, altref_range=3,
+               ssim_target=0.95)
+    frames = _sequence(w, h, n, seed=5)
+
+    enc = Encoder(EncoderConfig(**cfg), w, h, backend="spec")
+    want, replaced_any = [], 0
+    for f in frames:
+        want.append(enc.encode_frame(f))
+        replaced_any += enc.last_frame_stats["replaced"]
+    # the controller must actually fire somewhere or the test is vacuous
+    assert replaced_any > 0, "ssim controller never fired; raise qi_max"
+
+    mesh = make_mesh(8, gop=2, tile=4)
+    got = encode_frames_multichip(EncoderConfig(**cfg), frames, w, h, mesh)
+
+    assert len(got) == n
+    for i, (a, b) in enumerate(zip(want, got)):
+        assert a == b, f"frame {i}: {len(a)}B vs {len(b)}B"
+    dec = VP8Decoder()
+    for payload in got:
+        dec.decode_frame(payload)
+
+
+def test_multichip_nonsquare_partitions_promotion():
+    """VERDICT r3 #8: non-square frame, partitions=4, and golden/altref
+    promotions mid-GOP with tile>1, byte-identical to sequential."""
+    from vp8oclenc_tpu.parallel.encoder import encode_frames_multichip
+    from vp8oclenc_tpu.pipeline.encoder import Encoder
+
+    w, h = 192, 96           # mbw=12, mbh=6 -> 2 MB rows per tile chip
+    n = 7
+    cfg = dict(qi_min=8, qi_max=40, gop_size=7, altref_range=2,
+               num_partitions=4)
+    frames = _sequence(w, h, n, seed=33)
+
+    enc = Encoder(EncoderConfig(**cfg), w, h, backend="spec")
+    want = [enc.encode_frame(f) for f in frames]
+
+    mesh = make_mesh(6, gop=2, tile=3)   # 3 tiles: awkward division, 6/3=2
+    got = encode_frames_multichip(EncoderConfig(**cfg), frames, w, h, mesh)
+
+    assert len(got) == n
+    for i, (a, b) in enumerate(zip(want, got)):
+        assert a == b, f"frame {i}: {len(a)}B vs {len(b)}B"

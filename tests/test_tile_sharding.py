@@ -112,8 +112,10 @@ def test_tile_sharded_step_equals_single_chip():
     lf = jax.device_put(jnp.asarray(np.stack(lfs)),
                         NamedSharding(mesh, P("gop", None, None)))
 
-    heads, bodies, recon, _new_state = step(
-        y, u, v, (state, state, state), rvalid, segq, lf)
+    tfx3 = jax.device_put(jnp.full((G,), -1, jnp.int32),
+                          NamedSharding(mesh, P("gop")))
+    heads, bodies, _modes4, _lv, recon, _new_state = step(
+        y, u, v, (state, state, state), rvalid, segq, lf, tfx3)
     heads = np.asarray(heads)
     bodies = np.asarray(bodies)
     hs = head_size(mbc_loc)

@@ -671,10 +671,9 @@ def _cachehook_build_inter_kernel(wrk_w: int, wrk_h: int,
     full_h-tall frame; body takes a leading traced `row0` (the shard's
     global top row) so search validity runs in global coordinates, and the
     ref pyramid/chroma pads are halo rows exchanged by the caller
-    (parallel/tile.py).  SSIM intra-replacement needs cross-shard recon
-    rows and is not supported sharded."""
-    if full_h:
-        assert not ssim_enabled, "SSIM controller unsupported in shard mode"
+    (parallel/tile.py).  With ssim_enabled, the frozen-recon replacement
+    controller exchanges its ghost rows / winner flags over ICI
+    (intra_replace_device shard mode)."""
     mbw, mbh = wrk_w // 16, wrk_h // 16
     mbc = mbw * mbh
     nby, nbx = wrk_h // 8, wrk_w // 8
@@ -806,7 +805,8 @@ def _cachehook_build_inter_kernel(wrk_w: int, wrk_h: int,
              b_ry, b_ru, b_rv, cur_ssim) = intra_replace_device(
                 y, u, v, recon_y, recon_u, recon_v, cur_ssim,
                 seg_y_dc, seg_y_ac, seg_uv_dc, seg_uv_ac, ssim_target,
-                mbw, mbh)
+                mbw, mbh,
+                shard=("tile", full_h // wrk_h) if full_h else None)
             a1 = applied[:, None]
             a2 = applied[:, None, None]
             a3 = applied[:, None, None, None]
@@ -954,7 +954,8 @@ def build_inter_kernel(wrk_w: int, wrk_h: int, ssim_enabled: bool = True):
     return _cachehook_build_inter_kernel(wrk_w, wrk_h, ssim_enabled)
 
 
-def build_inter_shard_fn(wrk_w: int, shard_h: int, full_h: int):
+def build_inter_shard_fn(wrk_w: int, shard_h: int, full_h: int,
+                         ssim_enabled: bool = False):
     """Traceable per-shard inter pixel step (for shard_map):
     fn(row0, y, u, v, pyrs, u_pads, v_pads, ref_valid, seg..., ssim_target)
     where y/u/v are the shard's rows and pyrs/u_pads/v_pads are halo strips
@@ -962,4 +963,5 @@ def build_inter_shard_fn(wrk_w: int, shard_h: int, full_h: int):
     from vp8oclenc_tpu.utils.jaxcache import enable
     enable()
     return _cachehook_build_inter_kernel(
-        wrk_w, shard_h, ssim_enabled=False, full_h=full_h).traceable_shard
+        wrk_w, shard_h, ssim_enabled=ssim_enabled,
+        full_h=full_h).traceable_shard

@@ -213,12 +213,50 @@ def _chroma_finalize(recon, uv_src, mbw, mbh, dc_q, ac_q):
     return T.zigzag(lev).reshape(2, mbw * mbh, 4, 16).astype(jnp.int16)
 
 
+def intra_body(y, u, v, y_dc_q, y_ac_q, uv_dc_q, uv_ac_q,
+               ldiag_by, ldiag_bx, cdiag_by, cdiag_bx,
+               wrk_w: int, wrk_h: int):
+    """Traceable whole-frame keyframe encode (also used inside shard_map by
+    the multichip path).  Returns (recon_y, recon_u, recon_v,
+    levels_pack (mbc, 25, 16) i16, modes (mbc, 16) i8)."""
+    w4, h4 = wrk_w // 4, wrk_h // 4
+    mbw, mbh = wrk_w // 16, wrk_h // 16
+    mbc = mbw * mbh
+    recon_y = jnp.zeros((wrk_h + 4, wrk_w), dtype=jnp.uint8)
+
+    def lstep(d, r):
+        return _luma_step(d, r, ldiag_by, ldiag_bx, y, w4, h4,
+                          y_dc_q, y_ac_q)
+
+    recon_y = jax.lax.fori_loop(0, ldiag_by.shape[0], lstep, recon_y)
+    levels_y, modes = _luma_finalize(recon_y, y, w4, h4, y_dc_q, y_ac_q)
+
+    uv = jnp.stack([u, v])
+    recon_uv = jnp.zeros((2, wrk_h // 2 + 8, wrk_w // 2), dtype=jnp.uint8)
+
+    def cstep(d, r):
+        return _chroma_step(d, r, cdiag_by, cdiag_bx, uv, mbh,
+                            uv_dc_q, uv_ac_q)
+
+    recon_uv = jax.lax.fori_loop(0, cdiag_by.shape[0], cstep, recon_uv)
+    levels_uv = _chroma_finalize(recon_uv, uv, mbw, mbh, uv_dc_q, uv_ac_q)
+
+    # (mbc, 25, 16) packed levels (Y 16, U 4, V 4, Y2 zero) — the same
+    # layout the inter path feeds to the wire kernel, so keyframes ride
+    # the identical compact device->host path
+    levels_pack = jnp.concatenate(
+        [levels_y, levels_uv[0], levels_uv[1],
+         jnp.zeros((mbc, 1, 16), jnp.int16)], axis=1)
+
+    return (recon_y[:wrk_h], recon_uv[0, :wrk_h // 2],
+            recon_uv[1, :wrk_h // 2], levels_pack, modes.astype(jnp.int8))
+
+
 @lru_cache(maxsize=8)
 def _cachehook_build_intra_kernel(wrk_w: int, wrk_h: int):
     """Compile the full keyframe kernel for one working resolution."""
     w4, h4 = wrk_w // 4, wrk_h // 4
     mbw, mbh = wrk_w // 16, wrk_h // 16
-    mbc = mbw * mbh
     ldiag_by, ldiag_bx = _luma_diagonals(w4, h4)
     cdiag_by, cdiag_bx = _mb_diagonals(mbw, mbh)
 
@@ -229,35 +267,9 @@ def _cachehook_build_intra_kernel(wrk_w: int, wrk_h: int):
     @jax.jit
     def kernel(y, u, v, y_dc_q, y_ac_q, uv_dc_q, uv_ac_q,
                ldiag_by, ldiag_bx, cdiag_by, cdiag_bx):
-        recon_y = jnp.zeros((wrk_h + 4, wrk_w), dtype=jnp.uint8)
-
-        def lstep(d, r):
-            return _luma_step(d, r, ldiag_by, ldiag_bx, y, w4, h4,
-                              y_dc_q, y_ac_q)
-
-        recon_y = jax.lax.fori_loop(0, ldiag_by.shape[0], lstep, recon_y)
-        levels_y, modes = _luma_finalize(recon_y, y, w4, h4, y_dc_q, y_ac_q)
-
-        uv = jnp.stack([u, v])
-        recon_uv = jnp.zeros((2, wrk_h // 2 + 8, wrk_w // 2), dtype=jnp.uint8)
-
-        def cstep(d, r):
-            return _chroma_step(d, r, cdiag_by, cdiag_bx, uv, mbh,
-                                uv_dc_q, uv_ac_q)
-
-        recon_uv = jax.lax.fori_loop(0, cdiag_by.shape[0], cstep, recon_uv)
-        levels_uv = _chroma_finalize(recon_uv, uv, mbw, mbh, uv_dc_q, uv_ac_q)
-
-        # (mbc, 25, 16) packed levels (Y 16, U 4, V 4, Y2 zero) — the same
-        # layout the inter path feeds to the wire kernel, so keyframes ride
-        # the identical compact device->host path
-        levels_pack = jnp.concatenate(
-            [levels_y, levels_uv[0], levels_uv[1],
-             jnp.zeros((mbc, 1, 16), jnp.int16)], axis=1)
-
-        return (recon_y[:wrk_h], recon_uv[0, :wrk_h // 2],
-                recon_uv[1, :wrk_h // 2], levels_pack,
-                modes.astype(jnp.int8))
+        return intra_body(y, u, v, y_dc_q, y_ac_q, uv_dc_q, uv_ac_q,
+                          ldiag_by, ldiag_bx, cdiag_by, cdiag_bx,
+                          wrk_w, wrk_h)
 
     def run(y, u, v, y_dc_q, y_ac_q, uv_dc_q, uv_ac_q):
         return kernel(y, u, v, y_dc_q, y_ac_q, uv_dc_q, uv_ac_q,

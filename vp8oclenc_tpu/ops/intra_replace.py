@@ -21,6 +21,7 @@ fused inter program:
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from vp8oclenc_tpu.ops import transforms as T
@@ -49,7 +50,7 @@ def mb_patches_to_chroma_blocks(p):
         .reshape(mbc, 4, 4, 4)
 
 
-def _frozen_luma_neighbors(recon_y, mbw: int, mbh: int):
+def _frozen_luma_neighbors(recon_y, mbw: int, mbh: int, above_row=None):
     """Frozen per-MB neighbor data from the pre-replacement luma recon.
 
     Returns (ftop (mbc, 21) int32 = [P, A(x)..A(x+19)], fleft (mbc, 16)).
@@ -57,11 +58,21 @@ def _frozen_luma_neighbors(recon_y, mbw: int, mbh: int):
     col -> 129, above-left at the top -> 127; the above-right pixels of the
     MB's rightmost block column come from the row above the MB, replicated
     from the MB's last column at the frame edge — exactly what edge-padding
-    the plane by 4 on the right produces."""
+    the plane by 4 on the right produces.
+
+    above_row: (W + 5,) int32 COMPLETE padded ghost row [corner, row,
+    right-pad x4] above this plane's first row (the row-sharded path's ICI
+    ghost row with border rules pre-applied) or None for the frame top."""
     H, W = recon_y.shape
     p = jnp.pad(recon_y, ((1, 0), (1, 4)), mode="edge").astype(jnp.int32)
     p = p.at[:, 0].set(129)
+    if above_row is not None:
+        return _frozen_luma_finish(p.at[0, :].set(above_row), H, W, mbw, mbh)
     p = p.at[0, :].set(127)          # after the col set: corner = 127
+    return _frozen_luma_finish(p, H, W, mbw, mbh)
+
+
+def _frozen_luma_finish(p, H, W, mbw, mbh):
     top_rows = p[0:H:16, :]                              # (mbh, W + 5)
     ftop = jnp.stack([top_rows[:, j::16][:, :mbw] for j in range(21)],
                      axis=-1)                            # (mbh, mbw, 21)
@@ -70,13 +81,17 @@ def _frozen_luma_neighbors(recon_y, mbw: int, mbh: int):
     return ftop.reshape(-1, 21), fleft.reshape(-1, 16)
 
 
-def _frozen_chroma_neighbors(recon_c, mbw: int, mbh: int):
+def _frozen_chroma_neighbors(recon_c, mbw: int, mbh: int, above_row=None):
     """(ctop (mbc, 8), cleft (mbc, 8), ctl (mbc,)) int32, rules per
-    spec.intra.encode_chroma_mb (top 127 / left 129 / top-left 127)."""
+    spec.intra.encode_chroma_mb (top 127 / left 129 / top-left 127).
+    above_row as in _frozen_luma_neighbors."""
     H2, W2 = recon_c.shape
     p = jnp.pad(recon_c, ((1, 0), (1, 0)), mode="edge").astype(jnp.int32)
     p = p.at[:, 0].set(129)
-    p = p.at[0, :].set(127)
+    if above_row is not None:
+        p = p.at[0, :].set(above_row)
+    else:
+        p = p.at[0, :].set(127)
     top_rows = p[0:H2:8, :]                              # (mbh, W2 + 1)
     ctop = jnp.stack([top_rows[:, 1 + k::8][:, :mbw] for k in range(8)],
                      axis=-1)                            # (mbh, mbw, 8)
@@ -145,16 +160,42 @@ def _trial_chroma(c_mb, ctop, cleft, ctl, dc_q, ac_q):
 
 def intra_replace_device(y, u, v, recon_y, recon_u, recon_v, cur_ssim,
                          seg_y_dc, seg_y_ac, seg_uv_dc, seg_uv_ac,
-                         ssim_target, mbw: int, mbh: int):
+                         ssim_target, mbw: int, mbh: int, shard=None):
     """Run the full batched controller.  Inputs are whole frozen planes and
     the per-MB Q15 SSIM after the segment loop.  Returns
     (applied (mbc,) bool, sid (mbc,), modes (mbc, 16) i32,
      lv_y (mbc, 16, 16), lv_u/lv_v (mbc, 4, 16),
-     rec_y (mbc, 16, 16), rec_u/rec_v (mbc, 8, 8), new_cur (mbc,))."""
+     rec_y (mbc, 16, 16), rec_u/rec_v (mbc, 8, 8), new_cur (mbc,)).
+
+    shard: None, or (axis_name, ntile) when the planes are one row shard of
+    a taller frame inside shard_map.  The frozen-recon design needs only
+    ONE ghost recon row from the shard above (per plane) plus that shard's
+    last-MB-row winner flags for the suppression pass — two tiny ICI
+    ppermutes; everything else is shard-local."""
     mbc = mbw * mbh
-    ftop, fleft = _frozen_luma_neighbors(recon_y, mbw, mbh)
-    utop, uleft, utl = _frozen_chroma_neighbors(recon_u, mbw, mbh)
-    vtop, vleft, vtl = _frozen_chroma_neighbors(recon_v, mbw, mbh)
+    above_y = above_u = above_v = None
+    if shard is not None:
+        axis, ntile = shard
+        idx = jax.lax.axis_index(axis)
+        down = [(t, t + 1) for t in range(ntile - 1)]
+        is_top = (idx == 0)
+
+        def ghost(plane, rpad):
+            """Complete padded ghost row: [corner, vals, edge-pad x rpad];
+            the frame-top shard reproduces the all-127 rule row exactly."""
+            g = jax.lax.ppermute(plane[-1:].astype(jnp.int32), axis, down)[0]
+            vals = jnp.where(is_top, 127, g)
+            corner = jnp.where(is_top, 127, 129)[None]
+            tail = jnp.broadcast_to(vals[-1], (rpad,)) if rpad else \
+                jnp.zeros((0,), jnp.int32)
+            return jnp.concatenate([corner, vals, tail])
+
+        above_y = ghost(recon_y, 4)
+        above_u = ghost(recon_u, 0)
+        above_v = ghost(recon_v, 0)
+    ftop, fleft = _frozen_luma_neighbors(recon_y, mbw, mbh, above_y)
+    utop, uleft, utl = _frozen_chroma_neighbors(recon_u, mbw, mbh, above_u)
+    vtop, vleft, vtl = _frozen_chroma_neighbors(recon_v, mbw, mbh, above_v)
     y_mb = _plane_mb(y, 16)
     u_mb = _plane_mb(u, 8)
     v_mb = _plane_mb(v, 8)
@@ -196,7 +237,12 @@ def intra_replace_device(y, u, v, recon_y, recon_u, recon_v, cur_ssim,
     # suppression: a winner is applied only when none of the 4 neighbor MBs
     # feeding its prediction (left, above-left, above, above-right) also won
     w2 = win.reshape(mbh, mbw)
-    pw = jnp.pad(w2, ((1, 0), (1, 1)))
+    if shard is not None:
+        gw = jax.lax.ppermute(w2[-1:], axis, down)[0]
+        top_win = jnp.where(is_top, False, gw)[None]     # (1, mbw)
+    else:
+        top_win = jnp.zeros((1, mbw), bool)
+    pw = jnp.pad(jnp.concatenate([top_win, w2], axis=0), ((0, 0), (1, 1)))
     conflict = (pw[1:, :-2] | pw[:-1, :-2] | pw[:-1, 1:-1] | pw[:-1, 2:])
     applied = win & ~conflict.reshape(-1)
 

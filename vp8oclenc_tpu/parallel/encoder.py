@@ -2,17 +2,24 @@
 
 Encodes keyframe-aligned GOPs in lockstep over the `gop` mesh axis (pure
 data parallelism) with every frame's pixel pipeline row-sharded over `tile`
-(parallel.tile halo exchange).  Host-side entropy coding / bitstream
-assembly runs per GOP from the per-shard wire buffers, and the per-GOP
-streams concatenate — in order — into one IVF-payload sequence that is
+(parallel.tile halo exchange).  Keyframes run ON DEVICE (the sharded intra
+wavefront step — previously every GOP start serialized onto host numpy
+while all chips idled), the SSIM quality controller runs per shard with ICI
+ghost rows, and SSIM-forced redo-as-key re-runs the device keyframe step
+for the failing lanes.  Host-side entropy coding / bitstream assembly runs
+per GOP from the per-shard wire buffers, and the per-GOP streams
+concatenate — in order — into one IVF-payload sequence that is
 byte-identical to the sequential single-chip encoder's
 (tests/test_multichip_encode.py).
 
-Scope notes (v1): the SSIM controller is off in the sharded pixel step
-(ssim_target < 0; its intra replacement needs cross-shard recon rows), and
-GOP boundaries come from a host pre-pass that replays the sequential
-scene-change detector (vp8enc.cpp:265-311 — it reads source chroma only,
-so it is computable before any encoding).
+Scope note: GOP boundaries come from a host pre-pass replaying the
+sequential scene-change detector (the shared scene_change_step — it reads
+source chroma only, so it is computable before any encoding).  An
+SSIM-forced redo (data-dependent) resets the failing lane's own altref
+schedule exactly as the sequential encoder would; since each lane spans a
+single GOP, redo never moves a *batch* boundary unless the sequential
+encoder's quality-forced keyframe would have (in which case both encoders
+place the same keyframe — tested).
 """
 from __future__ import annotations
 
@@ -22,51 +29,65 @@ import jax.numpy as jnp
 
 from vp8oclenc_tpu.config import EncoderConfig
 from vp8oclenc_tpu.io.y4m import Frame, pad_frame
-from vp8oclenc_tpu.pipeline.encoder import Encoder, FrameData
+from vp8oclenc_tpu.pipeline.encoder import (Encoder, FrameData,
+                                            scene_change_step)
 from vp8oclenc_tpu.pipeline.segments import prepare_segments
-from vp8oclenc_tpu.tables import ALTREF, ARE4X4, GOLDEN, LAST
+from vp8oclenc_tpu.tables import (ALTREF, ARE4X4, GOLDEN, INTRA_SEGMENT,
+                                  LAST)
 
 
 def plan_gops(cfg: EncoderConfig, frames, width, height):
     """Host pre-pass: replay the sequential key-frame schedule (GOP counter
     + scene-change detector) and split `frames` into keyframe-aligned runs."""
-    enc = Encoder.__new__(Encoder)          # detector state only
-    enc.frame_number = 0
-    enc.last_key_detect = 0
-    enc._scene_holdover = False
-    enc.last_u = None
-    enc.last_v = None
+    last_key_detect, holdover = 0, False
+    last_u = last_v = None
     gops, cur = [], None
     frames_until_key = 1
+    fn = 0
     for f in frames:
         p = pad_frame(f)
         frames_until_key -= 1
         is_key = frames_until_key < 1
-        if not is_key and Encoder._scene_change(enc, p.u, p.v):
-            is_key = True
+        if not is_key and last_u is not None:
+            change, last_key_detect, holdover = scene_change_step(
+                fn, last_key_detect, holdover, last_u, last_v, p.u, p.v)
+            is_key = is_key or change
         if is_key:
             frames_until_key = cfg.gop_size
+            last_key_detect = fn
             if cur:
                 gops.append(cur)
             cur = []
         cur.append(p)
-        enc.last_u = p.u.copy()
-        enc.last_v = p.v.copy()
-        enc.frame_number += 1
+        last_u, last_v = p.u.copy(), p.v.copy()
+        fn += 1
     if cur:
         gops.append(cur)
     return gops
+
+
+def _seg_quant_stack(seg):
+    return np.stack([seg.y_dc_q, seg.y_ac_q, seg.y2_dc_q, seg.y2_ac_q,
+                     seg.uv_dc_q, seg.uv_ac_q]).astype(np.int32)
+
+
+def _lf_stack(*segs):
+    return np.stack([
+        np.stack([s.loop_filter_level, s.mbedge_limit, s.sub_bedge_limit,
+                  s.interior_limit, s.hev_threshold]) for s in segs
+    ]).astype(np.int32)
 
 
 class MultiChipEncoder:
     """Encode G GOPs in lockstep over a (gop, tile) mesh."""
 
     def __init__(self, cfg: EncoderConfig, width: int, height: int, mesh):
+        from vp8oclenc_tpu.ops.intra import _luma_diagonals, _mb_diagonals
         from vp8oclenc_tpu.parallel.tile import (build_strips_fn,
-                                                 build_tile_frame_step)
+                                                 build_tile_frame_step,
+                                                 build_tile_key_step)
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        assert cfg.ssim_target <= 0, "SSIM controller unsupported multichip"
         self.cfg = cfg
         self.width, self.height = width, height
         self.wrk_w = (width + 15) & ~15
@@ -76,8 +97,13 @@ class MultiChipEncoder:
         self.T = mesh.shape["tile"]
         assert (self.wrk_h // 16) % self.T == 0, \
             "MB rows must divide over the tile axis"
-        self.step = build_tile_frame_step(mesh, self.wrk_w, self.wrk_h)
+        self.ssim_on = cfg.ssim_target > 0.0
+        self.step = build_tile_frame_step(mesh, self.wrk_w, self.wrk_h,
+                                          ssim_enabled=self.ssim_on)
+        self.kstep = build_tile_key_step(mesh, self.wrk_w, self.wrk_h)
         self.strips = build_strips_fn(mesh, self.wrk_w, self.wrk_h)
+        self.ldiag = _luma_diagonals(self.wrk_w // 4, self.wrk_h // 4)
+        self.cdiag = _mb_diagonals(self.wrk_w // 16, self.wrk_h // 16)
         self.gsh = NamedSharding(mesh, P("gop", "tile", None))
         self.rep = lambda nd: NamedSharding(mesh, P(*(("gop",) + (None,) * nd)))
         # host shells: entropy/bitstream state per GOP stream
@@ -90,61 +116,122 @@ class MultiChipEncoder:
             return jax.device_put(x, self.gsh)
         return jax.device_put(x, self.rep(nd_rep))
 
-    def encode_gop_batch(self, gops):
-        """gops: list of <= G lists of padded Frames, each starting at a
-        keyframe.  Returns a list-of-lists of per-frame payload bytes."""
-        from vp8oclenc_tpu.ops.wire import (head_size, stats_sum_fx,
-                                            unpack_head, unpack_levels)
-        from vp8oclenc_tpu.spec import intra as SPEC_INTRA
-        from vp8oclenc_tpu.ssim_fx import WEAKEN_FX
+    def _select_lanes(self, mask, a, b):
+        """Per-GOP-lane pytree select: leaf = a[g] where mask[g] else b[g]."""
+        m = jnp.asarray(mask)
 
-        G, T = self.G, self.T
-        cfg = self.cfg
+        def sel(x, y):
+            mm = m.reshape((self.G,) + (1,) * (x.ndim - 1))
+            return jnp.where(mm, x, y)
+
+        return jax.tree.map(sel, a, b)
+
+    def _run_key_step(self, frames_g, segs_key):
+        """Device keyframes for all lanes: frames_g list of G padded Frames,
+        segs_key list of G key SegmentData.  Returns (heads, bodies, modes,
+        strips)."""
+        qs = np.stack([
+            np.array([int(s.y_dc_q[0]), int(s.y_ac_q[0]),
+                      int(s.uv_dc_q[0]), int(s.uv_ac_q[0])], np.int32)
+            for s in segs_key])
+        lf = np.stack([_lf_stack(s)[0] for s in segs_key])
+        heads, bodies, modes, lv_dev, _recon, strips = self.kstep(
+            self._place([f.y for f in frames_g]),
+            self._place([f.u for f in frames_g]),
+            self._place([f.v for f in frames_g]),
+            self._place(qs, nd_rep=1), self._place(lf, nd_rep=2),
+            jnp.asarray(self.ldiag[0]), jnp.asarray(self.ldiag[1]),
+            jnp.asarray(self.cdiag[0]), jnp.asarray(self.cdiag[1]))
+        return np.asarray(heads), np.asarray(bodies), np.asarray(modes), \
+            lv_dev, strips
+
+    def _lane_framedata(self, heads, bodies, g, is_key, is_altref,
+                        modes=None, modes4=None, lv_dev=None):
+        """Assemble one lane's FrameData from its T shard wire buffers.
+        Returns (fd, min_ssim_fx, sum_fx, replaced)."""
+        from vp8oclenc_tpu.ops.wire import head_size, unpack_head, \
+            unpack_levels, unpack_modes4
+        T = self.T
         mbw = self.wrk_w // 16
         mbh = self.wrk_h // 16
         mbc = mbw * mbh
         mbc_loc = mbc // T
+        hs = head_size(mbc_loc)
+        bs = bodies.shape[1] // T
+        levels = np.zeros((mbc, 25, 16), np.int16)
+        seg_ids = np.zeros(mbc, np.int32)
+        parts = np.zeros(mbc, np.int32)
+        refs = np.zeros(mbc, np.int32)
+        mvs = np.zeros((mbc, 4, 2), np.int16)
+        mmodes = np.zeros((mbc, 16), np.int8)
+        min_fx, sum_fx, replaced = 1 << 30, 0, 0
+        for t in range(T):
+            info = unpack_head(heads[g, t * hs:(t + 1) * hs], mbc_loc)
+            body_t = bodies[g, t * bs:(t + 1) * bs]
+            sl = slice(t * mbc_loc, (t + 1) * mbc_loc)
+            if info["esc_overflow"]:
+                # >ESC_SLOTS escapes in one MB: fetch this lane's exact
+                # int16 levels from the device-resident fallback
+                levels[sl] = np.asarray(lv_dev[g][sl]).astype(np.int16)
+            else:
+                levels[sl] = unpack_levels(
+                    info, body_t[: info["n_active"] * 16], mbc_loc)
+            seg_ids[sl] = info["seg"]
+            parts[sl] = info["part"]
+            refs[sl] = info["ref"]
+            mvs[sl] = info["mvs"]
+            min_fx = min(min_fx, info["ssim_min_fx"])
+            sum_fx += info["ssim_sum_fx"]
+            replaced += info["replaced"]
+            if info["replaced"] and modes4 is not None:
+                m4 = modes4[g].reshape(T, mbc_loc * 8)[t]
+                mmodes[sl] = unpack_modes4(m4, mbc_loc)
+        if is_key and modes is not None:
+            mmodes = modes[g].astype(np.int8)
+        ref_map = np.array([LAST, GOLDEN, ALTREF])
+        fd = FrameData(
+            mbw=mbw, mbh=mbh, is_key=is_key, is_golden=is_key,
+            is_altref=is_altref or is_key, levels=levels,
+            parts=np.full(mbc, ARE4X4, np.int32) if is_key else parts,
+            segment_ids=np.full(mbc, INTRA_SEGMENT, np.int32) if is_key
+            else seg_ids,
+            modes=mmodes,
+            is_inter=np.zeros(mbc, bool) if is_key else (parts != ARE4X4),
+            ref_frame=np.full(mbc, LAST, np.int32) if is_key
+            else ref_map[refs].astype(np.int32),
+            mvs=np.zeros((mbc, 4, 2), np.int16) if is_key else mvs,
+            replaced=replaced)
+        return fd, min_fx, sum_fx, replaced
+
+    def encode_gop_batch(self, gops):
+        """gops: list of <= G lists of padded Frames, each starting at a
+        keyframe.  Returns a list-of-lists of per-frame payload bytes."""
+        from vp8oclenc_tpu.ssim_fx import WEAKEN_FX, target_fx
+
+        G, T = self.G, self.T
+        cfg = self.cfg
+        mbc = (self.wrk_w // 16) * (self.wrk_h // 16)
         assert len(gops) <= G
-        # pad the batch: duplicate the last GOP into unused lanes, pad
-        # short GOPs by repeating their final frame (outputs dropped)
+        # pad the batch: duplicate the last GOP into unused lanes; short
+        # GOPs repeat their final frame (device lockstep; outputs dropped)
         n_real = len(gops)
         gops = list(gops) + [gops[-1]] * (G - n_real)
-        L = max(len(g) for g in gops)
+        L = max(len(gops[g]) for g in range(n_real))
         payloads = [[] for _ in range(G)]
+        tfx3 = target_fx(cfg.ssim_target) if self.ssim_on else -1
 
-        # ---- frame 0: keyframes (host spec intra; identical to the TPU
-        # intra wavefront by construction, tests/test_tpu_intra.py) ----
-        segs = []
-        recon_y, recon_u, recon_v = [], [], []
-        for g in range(G):
-            f = gops[g][0]
-            seg = prepare_segments(cfg, f.y, True, True)
-            levels, modes, recon = SPEC_INTRA.encode_intra_frame(
-                f.y, f.u, f.v, seg)
-            from vp8oclenc_tpu.tables import INTRA_SEGMENT
-            fd = FrameData(
-                mbw=mbw, mbh=mbh, is_key=True, is_golden=True,
-                is_altref=True, levels=levels,
-                parts=np.full(mbc, ARE4X4, np.int32),
-                segment_ids=np.full(mbc, INTRA_SEGMENT, np.int32),
-                modes=modes, is_inter=np.zeros(mbc, bool),
-                ref_frame=np.full(mbc, LAST, np.int32),
-                mvs=np.zeros((mbc, 4, 2), np.int16))
-            from vp8oclenc_tpu.spec import loopfilter as SPEC_LF
-            from vp8oclenc_tpu.entropy import tokens as TOK
-            skip, _ = TOK.mb_skip_flags(fd.levels, fd.parts)
-            inner = np.ones(mbc, bool)
-            ry, ru, rv = [r.copy() for r in recon]
-            SPEC_LF.loop_filter_frame(ry, ru, rv, fd.segment_ids, inner, seg)
-            payloads[g].append(self.shells[g]._finish_frame(fd, seg))
-            segs.append(seg)
-            recon_y.append(ry)
-            recon_u.append(ru)
-            recon_v.append(rv)
+        # ---- frame 0: keyframes on device (sharded intra wavefront) ----
+        frames0 = [gops[g][0] for g in range(G)]
+        segs_key = [prepare_segments(cfg, f.y, True, True) for f in frames0]
+        heads, bodies, modes, klv, strips = self._run_key_step(
+            frames0, segs_key)
+        for g in range(n_real):
+            fd, _mn, _sm, _rp = self._lane_framedata(
+                heads, bodies, g, is_key=True, is_altref=True, modes=modes,
+                lv_dev=klv)
+            payloads[g].append(self.shells[g]._finish_frame(fd, segs_key[g]))
 
-        state = self.strips(self._place(recon_y), self._place(recon_u),
-                            self._place(recon_v))
-        last = golden = altref = state
+        last = golden = altref = strips
         prev_is_golden = [True] * G
         prev_is_altref = [True] * G
         frames_until_altref = [cfg.altref_range] * G
@@ -166,73 +253,87 @@ class MultiChipEncoder:
                                         weaken_filter=True,
                                         strength=seg.raw_strength)
                 segs_l.append((seg, weak))
-                lf_l.append(np.stack([
-                    np.stack([s.loop_filter_level, s.mbedge_limit,
-                              s.sub_bedge_limit, s.interior_limit,
-                              s.hev_threshold]) for s in (seg, weak)
-                ]).astype(np.int32))
+                lf_l.append(_lf_stack(seg, weak))
                 use_g = not prev_is_golden[g]
                 use_a = (not prev_is_altref[g]) and \
                     (altref_no[g] != golden_no[g])
                 rv_l.append(np.array([True, use_g, use_a]))
 
-            segq = [np.stack([s.y_dc_q, s.y_ac_q, s.y2_dc_q, s.y2_ac_q,
-                              s.uv_dc_q, s.uv_ac_q]).astype(np.int32)
-                    for (s, _w) in segs_l]
+            segq = [_seg_quant_stack(s) for (s, _w) in segs_l]
             ref_state = (last, golden, altref)
-            heads, bodies, _recon, new_last = self.step(
+            heads, bodies, modes4, lv_dev, _recon, new_last = self.step(
                 self._place([c.y for c in cur]),
                 self._place([c.u for c in cur]),
                 self._place([c.v for c in cur]),
                 ref_state, self._place(rv_l, nd_rep=1),
-                self._place(segq, nd_rep=2), self._place(lf_l, nd_rep=3))
+                self._place(segq, nd_rep=2), self._place(lf_l, nd_rep=3),
+                self._place([np.int32(tfx3)] * G, nd_rep=0))
             heads = np.asarray(heads)
             bodies = np.asarray(bodies)
-            hs = head_size(mbc_loc)
-            bs = bodies.shape[1] // T
+            modes4 = np.asarray(modes4)
 
+            # per-lane assembly + SSIM redo decision (check_SSIM,
+            # vp8enc.cpp:443-453)
+            fds = [None] * G
+            redo = [False] * G
             for g in range(G):
                 if i >= len(gops[g]) or g >= n_real:
                     continue
                 seg, weak = segs_l[g]
-                levels = np.zeros((mbc, 25, 16), np.int16)
-                seg_ids = np.zeros(mbc, np.int32)
-                parts = np.zeros(mbc, np.int32)
-                refs = np.zeros(mbc, np.int32)
-                mvs = np.zeros((mbc, 4, 2), np.int16)
-                min_fx = 1 << 30
-                for t in range(T):
-                    info = unpack_head(heads[g, t * hs:(t + 1) * hs], mbc_loc)
-                    body_t = bodies[g, t * bs:(t + 1) * bs]
-                    sl = slice(t * mbc_loc, (t + 1) * mbc_loc)
-                    levels[sl] = unpack_levels(
-                        info, body_t[: info["n_active"] * 16], mbc_loc)
-                    seg_ids[sl] = info["seg"]
-                    parts[sl] = info["part"]
-                    refs[sl] = info["ref"]
-                    mvs[sl] = info["mvs"]
-                    min_fx = min(min_fx, info["ssim_min_fx"])
+                fd, min_fx, sum_fx, replaced = self._lane_framedata(
+                    heads, bodies, g, is_key=False,
+                    is_altref=is_altref_l[g], modes4=modes4, lv_dev=lv_dev)
+                if self.ssim_on and (replaced > mbc // 6
+                                     or sum_fx < tfx3 * mbc):
+                    redo[g] = True
+                    continue
                 if min_fx > WEAKEN_FX:
                     seg.__dict__.update(weak.__dict__)
-                ref_map = np.array([LAST, GOLDEN, ALTREF])
-                fd = FrameData(
-                    mbw=mbw, mbh=mbh, is_key=False, is_golden=False,
-                    is_altref=is_altref_l[g], levels=levels,
-                    parts=parts, segment_ids=seg_ids,
-                    modes=np.zeros((mbc, 16), np.int8),
-                    is_inter=np.ones(mbc, bool),
-                    ref_frame=ref_map[refs].astype(np.int32), mvs=mvs)
-                payloads[g].append(self.shells[g]._finish_frame(fd, seg))
+                fds[g] = (fd, seg)
 
-            # reference bookkeeping (uniform schedule across the batch)
+            if any(redo):
+                # re-encode the failing lanes' frames as keyframes on
+                # device; other lanes' outputs are computed and dropped
+                segs_redo = [prepare_segments(
+                    cfg, cur[g].y, True, True,
+                    strength=segs_l[g][0].raw_strength) for g in range(G)]
+                kh, kb, kmodes, klv2, kstrips = self._run_key_step(
+                    cur, segs_redo)
+                for g in range(G):
+                    if not redo[g]:
+                        continue
+                    fd, _mn, _sm, _rp = self._lane_framedata(
+                        kh, kb, g, is_key=True, is_altref=True, modes=kmodes,
+                        lv_dev=klv2)
+                    fds[g] = (fd, segs_redo[g])
+                mask = np.array(redo)
+                new_last = self._select_lanes(mask, kstrips, new_last)
+
+            for g in range(n_real):
+                if fds[g] is not None:
+                    payloads[g].append(
+                        self.shells[g]._finish_frame(*fds[g]))
+
+            # reference bookkeeping (per lane; redo lanes reset like a key)
             last = new_last
-            if is_altref_l[0]:
-                altref = new_last
+            promote_a = [redo[g] or is_altref_l[g] for g in range(G)]
+            if any(promote_a):
+                altref = self._select_lanes(np.array(promote_a), new_last,
+                                            altref)
+            if any(redo):
+                golden = self._select_lanes(np.array(redo), new_last, golden)
             for g in range(G):
-                if is_altref_l[g]:
+                if redo[g]:
+                    golden_no[g] = i
                     altref_no[g] = i
-                prev_is_golden[g] = False
-                prev_is_altref[g] = is_altref_l[g]
+                    frames_until_altref[g] = cfg.altref_range
+                    prev_is_golden[g] = True
+                    prev_is_altref[g] = True
+                else:
+                    if is_altref_l[g]:
+                        altref_no[g] = i
+                    prev_is_golden[g] = False
+                    prev_is_altref[g] = is_altref_l[g]
 
         return payloads[:n_real]
 

@@ -200,26 +200,29 @@ def filter_planes_sharded(ry, ru, rv, seg_of_mb, inner_mask, levels, mbe,
 
 
 def sharded_frame_step(wrk_w: int, wrk_h: int, ntile: int,
-                       axis: str = "tile"):
+                       axis: str = "tile", ssim_enabled: bool = False):
     """Traceable per-shard full inter-frame step (pixels + filter + wire):
 
-      fn(y, u, v, ref_state, ref_valid, segq, lf) ->
-         (head, body, recon_shard, new_last_state)
+      fn(y, u, v, ref_state, ref_valid, segq, lf, tfx3) ->
+         (head, body, modes4, recon_shard, new_last_state)
 
     y/u/v: shard rows of the current frame.  ref_state: 3-tuple
     (last, golden, altref) of build_ref_strips outputs.  segq: (6, 4) i32
     quantizers.  lf: (2, 5, 4) i32 [normal/weakened] filter limits — the
     weakened set is selected on-device when the frame-global min SSIM
-    (pmin over tile) exceeds 0.95 (check_SSIM, vp8enc.cpp:260-261).  All
-    arrays shard-local; call inside shard_map over the tile axis."""
+    (pmin over tile) exceeds 0.95 (check_SSIM, vp8enc.cpp:260-261).
+    tfx3: i32 Q15 3-plane SSIM threshold (ssim_fx.target_fx) or -1; with
+    ssim_enabled the fused replacement controller runs per shard with ICI
+    ghost rows (intra_replace_device shard mode).  All arrays shard-local;
+    call inside shard_map over the tile axis."""
     assert wrk_h % (16 * ntile) == 0, "MB rows must divide over tiles"
     shard_h = wrk_h // ntile
     mbw = wrk_w // 16
     mbh_local = shard_h // 16
     mbh_global = wrk_h // 16
-    step_fn = build_inter_shard_fn(wrk_w, shard_h, wrk_h)
+    step_fn = build_inter_shard_fn(wrk_w, shard_h, wrk_h, ssim_enabled)
 
-    def fn(y, u, v, ref_state, ref_valid, segq, lf):
+    def fn(y, u, v, ref_state, ref_valid, segq, lf, tfx3):
         from vp8oclenc_tpu.ops.wire import pack_wire
         from vp8oclenc_tpu.tables import ARE16X16
 
@@ -227,10 +230,10 @@ def sharded_frame_step(wrk_w: int, wrk_h: int, ntile: int,
         pyrs = tuple(st[0] for st in ref_state)
         u_pads = tuple(st[1] for st in ref_state)
         v_pads = tuple(st[2] for st in ref_state)
-        (levels_pack, meta, cur_ssim, ry, ru, rv, _modes4, replaced) = \
+        (levels_pack, meta, cur_ssim, ry, ru, rv, modes4, replaced) = \
             step_fn(row0, y, u, v, pyrs, u_pads, v_pads, ref_valid,
                     segq[0], segq[1], segq[2], segq[3], segq[4], segq[5],
-                    jnp.int32(-1))
+                    tfx3)
 
         # loop filter from device meta (ops/loopfilter.py filter-from-meta)
         seg_ids = meta[:, 0]
@@ -248,7 +251,73 @@ def sharded_frame_step(wrk_w: int, wrk_h: int, ntile: int,
 
         head, body, _stats = pack_wire(levels_pack, meta, cur_ssim, replaced)
         new_last = build_ref_strips(fy, fu, fv, axis, ntile)
-        return head, body, (fy, fu, fv), new_last
+        return head, body, modes4, levels_pack, (fy, fu, fv), new_last
+
+    return fn
+
+
+def sharded_key_step(wrk_w: int, wrk_h: int, ntile: int, axis: str = "tile"):
+    """Traceable per-shard KEYFRAME step (device keyframes for the mesh
+    path — previously every GOP start ran host numpy while all chips
+    idled, VERDICT r3 #3):
+
+      fn(y, u, v, qs, lf, ldby, ldbx, cdby, cdbx) ->
+         (head, body, modes_own, recon_shard, new_last_state)
+
+    The intra wavefront's raster dependency spans the whole frame, so each
+    chip all-gathers the frame rows over `tile` and runs the full-frame
+    wavefront (redundantly across the tile axis — keyframes are one frame
+    per GOP); its OWN MB rows are then sliced out for the loop filter,
+    wire pack and reference strips, all shard-local.  qs: (4,) i32
+    [y_dc, y_ac, uv_dc, uv_ac] intra quantizers; lf: (5, 4) i32 key-frame
+    filter limits; ld*/cd*: the wavefront diagonal tables
+    (ops.intra._luma_diagonals/_mb_diagonals), passed as arrays."""
+    from vp8oclenc_tpu.ops.intra import intra_body
+    from vp8oclenc_tpu.ops.wire import pack_wire
+    from vp8oclenc_tpu.tables import ARE4X4, INTRA_SEGMENT
+
+    assert wrk_h % (16 * ntile) == 0
+    shard_h = wrk_h // ntile
+    mbw = wrk_w // 16
+    mbh_local = shard_h // 16
+    mbh_global = wrk_h // 16
+    mbc_loc = mbw * mbh_local
+
+    def fn(y, u, v, qs, lf, ldby, ldbx, cdby, cdbx):
+        yf = jax.lax.all_gather(y, axis, axis=0, tiled=True)
+        uf = jax.lax.all_gather(u, axis, axis=0, tiled=True)
+        vf = jax.lax.all_gather(v, axis, axis=0, tiled=True)
+        ry, ru, rv, levels_pack, modes = intra_body(
+            yf, uf, vf, qs[0], qs[1], qs[2], qs[3],
+            ldby, ldbx, cdby, cdbx, wrk_w, wrk_h)
+
+        idx = jax.lax.axis_index(axis)
+        row0 = idx * shard_h
+        ry_s = jax.lax.dynamic_slice(ry, (row0, 0), (shard_h, wrk_w))
+        ru_s = jax.lax.dynamic_slice(ru, (row0 // 2, 0),
+                                     (shard_h // 2, wrk_w // 2))
+        rv_s = jax.lax.dynamic_slice(rv, (row0 // 2, 0),
+                                     (shard_h // 2, wrk_w // 2))
+        mb0 = idx * mbc_loc
+        lv_own = jax.lax.dynamic_slice(levels_pack, (mb0, 0, 0),
+                                       (mbc_loc, 25, 16))
+        modes_own = jax.lax.dynamic_slice(modes, (mb0, 0), (mbc_loc, 16))
+
+        seg_ids = jnp.full((mbc_loc,), INTRA_SEGMENT, jnp.int32)
+        inner = jnp.ones((mbc_loc,), bool)
+        fy, fu, fv = filter_planes_sharded(
+            ry_s, ru_s, rv_s, seg_ids, inner, lf[0], lf[1], lf[2],
+            lf[3], lf[4], mbw, mbh_local, mbh_global, axis, ntile)
+
+        meta = jnp.concatenate([
+            seg_ids[:, None],
+            jnp.full((mbc_loc, 1), ARE4X4, jnp.int32),
+            jnp.zeros((mbc_loc, 9), jnp.int32)], axis=1)
+        head, body, _stats = pack_wire(lv_own, meta,
+                                       jnp.zeros((mbc_loc,), jnp.int32),
+                                       jnp.int32(0))
+        new_last = build_ref_strips(fy, fu, fv, axis, ntile)
+        return head, body, modes_own, lv_own, (fy, fu, fv), new_last
 
     return fn
 
@@ -263,37 +332,74 @@ def _shard_map():
         return shard_map
 
 
-def build_tile_frame_step(mesh, wrk_w: int, wrk_h: int):
+def build_tile_frame_step(mesh, wrk_w: int, wrk_h: int,
+                          ssim_enabled: bool = False):
     """Jitted (gop, tile)-sharded inter frame step over a mesh.
 
     Arrays are batched over G GOP streams (sharded on `gop`) with frame
     rows sharded on `tile`.  Signature of the returned fn:
 
-      step(y, u, v, ref_state, ref_valid, segq, lf) ->
-        (heads (G, hs), bodies (G, bs), recon (y,u,v) sharded,
-         new_last_state strips)
+      step(y, u, v, ref_state, ref_valid, segq, lf, tfx3) ->
+        (heads (G, hs), bodies (G, bs), modes4 (G, T*mbc_loc*8),
+         levels (G, T*mbc_loc, 25, 16) [device-resident escape-overflow
+         fallback], recon (y,u,v) sharded, new_last_state strips)
 
     ref_state is a 3-tuple (last, golden, altref) of build_ref_strips
     pytrees whose leaves carry a leading G axis; the returned
-    new_last_state has the same structure as one of them."""
+    new_last_state has the same structure as one of them.  tfx3: (G,) i32
+    per-lane SSIM threshold (or -1)."""
     from jax.sharding import PartitionSpec as P
 
     ntile = mesh.shape["tile"]
-    per_shard = sharded_frame_step(wrk_w, wrk_h, ntile)
+    per_shard = sharded_frame_step(wrk_w, wrk_h, ntile,
+                                   ssim_enabled=ssim_enabled)
 
-    def local(y, u, v, ref_state, ref_valid, segq, lf):
+    def local(y, u, v, ref_state, ref_valid, segq, lf, tfx3):
         # vmap over the local GOP batch; collectives batch over it
-        return jax.vmap(per_shard)(y, u, v, ref_state, ref_valid, segq, lf)
+        return jax.vmap(per_shard)(y, u, v, ref_state, ref_valid, segq, lf,
+                                   tfx3)
 
     g = P("gop", "tile", None)
     strip_specs = jax.tree.map(
         lambda _: g, build_ref_strips_example_structure())
     in_specs = (g, g, g, (strip_specs,) * 3,
                 P("gop", None), P("gop", None, None),
-                P("gop", None, None, None))
+                P("gop", None, None, None), P("gop"))
     # per-shard wire heads/bodies concatenate along the byte axis; the host
     # splits the (G, ntile*len) rows back into per-shard segments
-    out_specs = (P("gop", "tile"), P("gop", "tile"), (g, g, g), strip_specs)
+    out_specs = (P("gop", "tile"), P("gop", "tile"), P("gop", "tile"),
+                 P("gop", "tile", None, None), (g, g, g), strip_specs)
+    stepped = _shard_map()(local, mesh=mesh, in_specs=in_specs,
+                           out_specs=out_specs, check_vma=False)
+    return jax.jit(stepped)
+
+
+def build_tile_key_step(mesh, wrk_w: int, wrk_h: int):
+    """Jitted (gop, tile)-sharded KEYFRAME step over a mesh:
+
+      kstep(y, u, v, qs (G, 4), lf (G, 5, 4), diag tables) ->
+        (heads (G, T*hs), bodies (G, T*bs), modes (G, T*mbc_loc, 16),
+         levels (G, T*mbc_loc, 25, 16) [escape-overflow fallback],
+         recon (y,u,v) sharded, new_last_state strips)
+    """
+    from jax.sharding import PartitionSpec as P
+
+    ntile = mesh.shape["tile"]
+    per_shard = sharded_key_step(wrk_w, wrk_h, ntile)
+
+    def local(y, u, v, qs, lf, ldby, ldbx, cdby, cdbx):
+        fn = lambda a, b, c, q, l: per_shard(a, b, c, q, l, ldby, ldbx,
+                                             cdby, cdbx)
+        return jax.vmap(fn)(y, u, v, qs, lf)
+
+    g = P("gop", "tile", None)
+    strip_specs = jax.tree.map(
+        lambda _: g, build_ref_strips_example_structure())
+    in_specs = (g, g, g, P("gop", None), P("gop", None, None),
+                P(None, None), P(None, None), P(None, None), P(None, None))
+    out_specs = (P("gop", "tile"), P("gop", "tile"),
+                 P("gop", "tile", None), P("gop", "tile", None, None),
+                 (g, g, g), strip_specs)
     stepped = _shard_map()(local, mesh=mesh, in_specs=in_specs,
                            out_specs=out_specs, check_vma=False)
     return jax.jit(stepped)

@@ -57,6 +57,26 @@ class EncoderStats:
     scene_changes_by_replaced: int = 0
 
 
+def scene_change_step(frame_number: int, last_key_detect: int,
+                      holdover: bool, last_u, last_v, u, v):
+    """One step of the chroma-SAD scene-change detector (reference
+    vp8enc.cpp:265-311): returns (change, last_key_detect, holdover).
+    Pure function shared by the sequential Encoder and the multichip GOP
+    planner so the two can never desynchronize."""
+    udiff = int(np.abs(last_u.astype(np.int64) - u).sum()) // u.size
+    vdiff = int(np.abs(last_v.astype(np.int64) - v).sum()) // v.size
+    detect = (udiff > 7) or (vdiff > 7) or (udiff + vdiff > 10)
+    if detect and (frame_number - last_key_detect) < 4:
+        return False, frame_number, True
+    if detect and (frame_number - last_key_detect) >= 4:
+        return True, last_key_detect, holdover
+    if holdover:
+        if (frame_number - last_key_detect) >= 4:
+            return True, last_key_detect, False
+        return False, last_key_detect, holdover
+    return False, last_key_detect, holdover
+
+
 class Encoder:
     """Single-stream VP8 encoder."""
 
@@ -111,22 +131,11 @@ class Encoder:
     def _scene_change(self, u: np.ndarray, v: np.ndarray) -> bool:
         if self.last_u is None:
             return False
-        udiff = int(np.abs(self.last_u.astype(np.int64) - u).sum()) // u.size
-        vdiff = int(np.abs(self.last_v.astype(np.int64) - v).sum()) // v.size
-        detect = (udiff > 7) or (vdiff > 7) or (udiff + vdiff > 10)
-        fn = self.frame_number
-        if detect and (fn - self.last_key_detect) < 4:
-            self.last_key_detect = fn
-            self._scene_holdover = True
-            return False
-        if detect and (fn - self.last_key_detect) >= 4:
-            return True
-        if self._scene_holdover:
-            if (fn - self.last_key_detect) >= 4:
-                self._scene_holdover = False
-                return True
-            return False
-        return False
+        change, self.last_key_detect, self._scene_holdover = \
+            scene_change_step(self.frame_number, self.last_key_detect,
+                              self._scene_holdover, self.last_u, self.last_v,
+                              u, v)
+        return change
 
     # ---- keyframe path ----
     def _encode_key(self, y, u, v, seg: SegmentData,
