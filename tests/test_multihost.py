@@ -1,0 +1,87 @@
+"""Multi-host simulation (BASELINE config 5): sharded Y4M range ingest,
+per-host GOP encode in separate processes, ordered merge — byte-identical
+to the sequential single-process encoder."""
+import io
+import os
+
+import numpy as np
+import pytest
+
+from vp8oclenc_tpu.config import EncoderConfig
+from vp8oclenc_tpu.io.y4m import Frame, Y4MWriter
+
+
+def _write_y4m(path, w, h, n, seed=3):
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h + 64, 0:w + 64]
+    base = (120 + 60 * np.sin(xx / 13.0) * np.cos(yy / 9.0)
+            + rng.integers(0, 30, xx.shape)).clip(0, 255).astype(np.uint8)
+    with open(path, "wb") as fh:
+        wr = Y4MWriter(fh, w, h, 30, 1)
+        for t in range(n):
+            if t == 5:      # hard cut -> scene-change keyframe mid-stream
+                base = np.ascontiguousarray(base[::-1, ::-1])
+            y = np.ascontiguousarray(base[2 * t:2 * t + h, t:t + w])
+            u = np.ascontiguousarray(base[t:t + h // 2, t:t + w // 2] // 2 + 60)
+            v = np.ascontiguousarray(
+                base[t + 2:t + 2 + h // 2, t:t + w // 2] // 2 + 40)
+            wr.write_frame(Frame(y, u, v))
+
+
+@pytest.mark.parametrize("n_hosts", [2, 3])
+def test_multihost_sim_byte_identical(tmp_path, n_hosts):
+    from vp8oclenc_tpu.io.y4m import Y4MReader
+    from vp8oclenc_tpu.parallel.multihost import encode_multihost_sim
+    from vp8oclenc_tpu.pipeline.encoder import Encoder
+    from vp8oclenc_tpu.io.ivf import IVFWriter, read_ivf
+    from vp8oclenc_tpu.decoder.vp8dec import VP8Decoder
+
+    w, h = 96, 80
+    n = 9
+    path = str(tmp_path / "in.y4m")
+    _write_y4m(path, w, h, n)
+    cfg = EncoderConfig(qi_min=10, qi_max=36, gop_size=4, altref_range=2)
+
+    with open(path, "rb") as fh:
+        frames = list(Y4MReader(fh))
+    enc = Encoder(cfg, w, h, backend="spec")
+    want = [enc.encode_frame(f) for f in frames]
+    # the plan must produce >2 GOPs so hosts actually split work
+    got = encode_multihost_sim(cfg, path, n_hosts, backend="spec")
+
+    assert len(got) == n
+    for i, (a, b) in enumerate(zip(want, got)):
+        assert a == b, f"frame {i}: {len(a)}B vs {len(b)}B"
+
+    # cross-host ordered IVF merge == sequential writer's bytes
+    def ivf_bytes(payloads):
+        buf = io.BytesIO()
+        wr = IVFWriter(buf, w, h, framerate=30, timescale=1)
+        for p in payloads:
+            wr.write_frame(p)
+        wr.finalize()
+        return buf.getvalue()
+
+    merged = ivf_bytes(got)
+    assert merged == ivf_bytes(want)
+    info, fr = read_ivf(merged)
+    dec = VP8Decoder()
+    for p in fr:
+        dec.decode_frame(p)
+
+
+def test_sharded_ingest_reads_only_range(tmp_path):
+    from vp8oclenc_tpu.parallel.multihost import (read_frame_range,
+                                                  y4m_frame_offsets)
+    from vp8oclenc_tpu.io.y4m import Y4MReader
+
+    w, h = 64, 48
+    path = str(tmp_path / "r.y4m")
+    _write_y4m(path, w, h, 7, seed=8)
+    _hdr, _rec, n, ww, hh = y4m_frame_offsets(path)
+    assert (n, ww, hh) == (7, w, h)
+    with open(path, "rb") as fh:
+        all_frames = list(Y4MReader(fh))
+    part, _, _ = read_frame_range(path, 3, 2)
+    assert np.array_equal(part[0].y, all_frames[3].y)
+    assert np.array_equal(part[1].v, all_frames[4].v)
