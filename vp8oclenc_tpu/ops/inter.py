@@ -179,11 +179,13 @@ def _qpel_filter_matrices():
 def _const_matmul(x_rows, mat_np):
     """(..., K) exact-integer rows @ (K, M) constant -> (..., M) f32 on the
     MXU; both operands' integers are bf16-exact so the f32 result is the
-    exact integer product-sum."""
+    exact integer product-sum.  The constant is host-pinned so lowering
+    never round-trips it through the device (utils.hostconst)."""
+    from vp8oclenc_tpu.utils.hostconst import host_const
     lead = x_rows.shape[:-1]
     flat = x_rows.reshape(-1, x_rows.shape[-1]).astype(jnp.bfloat16)
     out = jax.lax.dot_general(
-        flat, jnp.asarray(mat_np, jnp.bfloat16),
+        flat, host_const(mat_np, "bfloat16"),
         (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
     return out.reshape(*lead, mat_np.shape[1])
 

@@ -216,8 +216,9 @@ def fullpel_costs(patches, cur64, interpret: bool = False):
     if n_pad != n:
         patches = jnp.pad(patches, ((0, 0), (0, 0), (0, n_pad - n), (0, 0)))
         cur64 = jnp.pad(cur64, ((0, n_pad - n), (0, 0)))
+    from vp8oclenc_tpu.utils.hostconst import host_const
     call, consts_np = _build_fullpel_call(n_pad, interpret)
-    out = call(patches, cur64, *(jnp.asarray(a, d) for a, d in consts_np))
+    out = call(patches, cur64, *(host_const(a, d) for a, d in consts_np))
     return out[:, :, :n] if n_pad != n else out
 
 
@@ -340,7 +341,8 @@ def qpel_search25(patch, cur64, v0, nbx: int, W: int, full_h: int,
         patch = jnp.pad(patch, ((0, 0), (0, n_pad - n), (0, 0)))
         cur64 = jnp.pad(cur64, ((0, n_pad - n), (0, 0)))
         v0 = jnp.pad(v0, ((0, 0), (0, n_pad - n), (0, 0)))
+    from vp8oclenc_tpu.utils.hostconst import host_const
     call, consts_np = _build_qpel_call(n_pad, nbx, W, full_h, interpret)
     packed = call(patch, cur64, v0,
-                  *(jnp.asarray(a, d) for a, d in consts_np))[:, :n]
+                  *(host_const(a, d) for a, d in consts_np))[:, :n]
     return packed[:, :, 0], packed[:, :, 1], packed[:, :, 64:]

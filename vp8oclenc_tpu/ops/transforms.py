@@ -166,12 +166,13 @@ def dct_cost_rows64(rows64):
     lead = rows64.shape[:-1]
     n = int(np.prod(lead)) if lead else 1
     pad = (-n) % 2
+    from vp8oclenc_tpu.utils.hostconst import host_const
     if rows64.dtype == jnp.bfloat16:
         flat = rows64.reshape(n, 64)
-        mat = jnp.asarray(_COST_M128_B8, jnp.bfloat16)
+        mat = host_const(_COST_M128_B8, "bfloat16")
     else:
         flat = rows64.reshape(n, 64).astype(jnp.float32)
-        mat = jnp.asarray(_COST_M128_B8)
+        mat = host_const(_COST_M128_B8)
     if pad:
         flat = jnp.concatenate(
             [flat, jnp.zeros((pad, 64), flat.dtype)], axis=0)
@@ -207,12 +208,13 @@ def dct_cost(quads16):
     lead = quads16.shape[:-1]
     n = int(np.prod(lead)) if lead else 1
     pad = (-n) % 8
+    from vp8oclenc_tpu.utils.hostconst import host_const
     if quads16.dtype == jnp.bfloat16:
         flat = quads16.reshape(n, 16)
-        mat = jnp.asarray(_COST_M128, jnp.bfloat16)
+        mat = host_const(_COST_M128, "bfloat16")
     else:
         flat = quads16.reshape(n, 16).astype(jnp.float32)
-        mat = jnp.asarray(_COST_M128)
+        mat = host_const(_COST_M128)
     if pad:
         flat = jnp.concatenate(
             [flat, jnp.zeros((pad, 16), flat.dtype)], axis=0)
