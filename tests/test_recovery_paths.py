@@ -111,3 +111,35 @@ def test_dump_recon_cli_matches_decoder():
             assert np.array_equal(got.y[:h, :w], ref.y), f"frame {i}"
             assert np.array_equal(got.u[:h // 2, :w // 2], ref.u), f"frame {i}"
             assert np.array_equal(got.v[:h // 2, :w // 2], ref.v), f"frame {i}"
+
+
+def test_redo_as_key_speculative_tpu_matches_spec():
+    """The TPU backend's SPECULATIVE redo-as-key (verdict read from the
+    wire head at finalize, rollback to the pre-frame snapshot) must stay
+    byte-identical to the synchronous spec path — in both encode_frame and
+    the pipelined encode_frames (which must also re-dispatch the already-
+    speculated next frame)."""
+    w, h = 64, 48
+    rng = np.random.default_rng(3)
+    u = np.full((h // 2, w // 2), 120, np.uint8)
+    v = np.full((h // 2, w // 2), 130, np.uint8)
+    frames = [Frame(rng.integers(0, 255, (h, w)).astype(np.uint8),
+                    u.copy(), v.copy()) for _ in range(4)]
+    cfg = dict(qi_min=110, qi_max=127, gop_size=100, ssim_target=0.99)
+
+    enc_s = Encoder(EncoderConfig(**cfg), w, h, backend="spec")
+    want = [enc_s.encode_frame(f) for f in frames]
+    assert (enc_s.stats.scene_changes_by_ssim
+            + enc_s.stats.scene_changes_by_replaced) >= 2
+
+    enc_t = Encoder(EncoderConfig(**cfg), w, h, backend="tpu")
+    got = [enc_t.encode_frame(f) for f in frames]
+    assert got == want
+    assert (enc_t.stats.scene_changes_by_ssim
+            + enc_t.stats.scene_changes_by_replaced) == \
+        (enc_s.stats.scene_changes_by_ssim
+         + enc_s.stats.scene_changes_by_replaced)
+
+    enc_p = Encoder(EncoderConfig(**cfg), w, h, backend="tpu")
+    got_p = list(enc_p.encode_frames(frames))
+    assert got_p == want

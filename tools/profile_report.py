@@ -54,10 +54,11 @@ def measure_tunnel():
         t0 = time.monotonic()
         jax.block_until_ready(jnp.asarray(big))
         h2d.append(time.monotonic() - t0)
-    bigd = jnp.asarray(big)
-    jax.block_until_ready(bigd)
     d2h = []
-    for _ in range(3):
+    for k in range(3):
+        # a FRESH device array per rep: np.asarray caches the host copy on
+        # the buffer, so re-reading the same array measures nothing
+        bigd = jax.block_until_ready(jnp.asarray(big) + np.uint8(k))
         t0 = time.monotonic()
         np.asarray(bigd)
         d2h.append(time.monotonic() - t0)
@@ -98,26 +99,27 @@ def measure_device(sync_ms):
         out[f"inter_kernel_ssim_{'on' if ssim_on else 'off'}"] = \
             round(t - sync_ms, 1)
 
-    levels = rng.integers(-6, 7, (mbc, 25, 16), np.int16)
-    meta = rng.integers(0, 2, (mbc, 11), np.int32)
+    # device-resident args (re-uploading the 6.5 MB levels per rep would
+    # measure the tunnel, not the kernel)
+    levels = jax.block_until_ready(
+        jnp.asarray(rng.integers(-6, 7, (mbc, 25, 16), np.int16)))
+    meta = jax.block_until_ready(
+        jnp.asarray(rng.integers(0, 2, (mbc, 11), np.int32)))
     ssim = jnp.asarray(rng.integers(0, 98304, (mbc,), np.int32))
     lf = jnp.asarray(np.tile(
         np.array([20, 30, 25, 10, 2], np.int32)[None, :, None], (2, 1, 4)))
+    yd, ud, vd = (jax.block_until_ready(jnp.asarray(p)) for p in (y, u, v))
     fkern = build_filter_from_meta_kernel(mbw, mbh)
-    t = best_of(lambda: fkern(jnp.asarray(y), jnp.asarray(u), jnp.asarray(v),
-                              jnp.asarray(levels), jnp.asarray(meta), ssim,
-                              lf))
+    t = best_of(lambda: fkern(yd, ud, vd, levels, meta, ssim, lf))
     out["loopfilter_plus_refstate"] = round(t - sync_ms, 1)
 
     wkern = build_wire_kernel(mbc)
-    t = best_of(lambda: wkern(jnp.asarray(levels), jnp.asarray(meta), ssim,
-                              jnp.int32(0)))
+    t = best_of(lambda: wkern(levels, meta, ssim, jnp.int32(0)))
     out["wire_pack"] = round(t - sync_ms, 1)
 
     ikern = build_intra_kernel(W, H)
-    t = best_of(lambda: ikern(jnp.asarray(y), jnp.asarray(u), jnp.asarray(v),
-                              jnp.int32(8), jnp.int32(8), jnp.int32(8),
-                              jnp.int32(8)), reps=2)
+    t = best_of(lambda: ikern(yd, ud, vd, jnp.int32(8), jnp.int32(8),
+                              jnp.int32(8), jnp.int32(8)), reps=2)
     out["intra_keyframe_kernel"] = round(t - sync_ms, 1)
     return out
 

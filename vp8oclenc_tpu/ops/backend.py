@@ -146,9 +146,13 @@ class TPUBackend:
         """One fused device chain: pixel kernel (with the batched SSIM
         intra-replacement when -SSIM-target is on) -> loop filter -> wire
         pack.  Host-bound data leaves as a small head (async) + the body's
-        used prefix (lazy); with SSIM on, a 12-byte stats read drives the
-        redo-as-key decision (check_SSIM, vp8enc.cpp:443-453) — the old
-        reference frame state is only replaced after that check passes."""
+        used prefix (lazy).  With SSIM on, the redo-as-key decision
+        (check_SSIM, vp8enc.cpp:443-453) is SPECULATIVE: the frame
+        proceeds, the verdict is read from the wire head at finalize time
+        (one pipeline step later), and on the rare redo the caller
+        restores its pre-frame snapshot and re-encodes — a blocking
+        per-frame stats read costs a full tunnel sync and halved the
+        pipelined SSIM-mode throughput."""
         from vp8oclenc_tpu.ops.inter import build_inter_kernel
         from vp8oclenc_tpu.ops.loopfilter import build_filter_from_meta_kernel
         from vp8oclenc_tpu.ops.wire import build_wire_kernel
@@ -215,7 +219,7 @@ class TPUBackend:
         if not self._buckets_warm:
             warm_buckets(mbc)          # one-time: all bucket executables
             self._buckets_warm = True
-        head, body, stats = build_wire_kernel(mbc)(
+        head, body, _stats = build_wire_kernel(mbc)(
             levels_pack, meta, cur_ssim, replaced_dev)
         bucket = pick_bucket(self._body_guess, body_capacity(mbc))
         combined = head_plus_body(head, body, bucket)
@@ -225,18 +229,6 @@ class TPUBackend:
             pass
 
         replaced = 0
-        if ssim_on:
-            from vp8oclenc_tpu.ops.wire import stats_sum_fx
-            st = np.asarray(stats)          # 16 B; waits for the chain
-            replaced = int(st[0])
-            sum_fx = stats_sum_fx(int(st[2]), int(st[3]), mbc)
-            if replaced > mbc // 6 or sum_fx < tfx3 * mbc:
-                if sum_fx < tfx3 * mbc:
-                    enc.stats.scene_changes_by_ssim += 1
-                else:
-                    enc.stats.scene_changes_by_replaced += 1
-                return None                 # refs/pyramids untouched
-
         self.last = filtered
         self.last_state = filtered_state   # built in the filter program
         self.pending = None
@@ -252,11 +244,14 @@ class TPUBackend:
         enc.recon = PendingRecon(self)
         return fd
 
-    def finalize_framedata(self, fd, seg) -> None:
+    def finalize_framedata(self, fd, seg):
         """Materialize a lazily-returned FrameData (key or inter): the one
-        combined head+body D2H, unpack, escape patching."""
+        combined head+body D2H, unpack, escape patching.  Returns None, or
+        'ssim'/'replaced' when the SSIM controller demands a redo-as-key
+        (check_SSIM, vp8enc.cpp:443-453) — the caller then rolls back to
+        its pre-frame snapshot."""
         if getattr(fd, "device_outputs", None) is None:
-            return
+            return None
         from vp8oclenc_tpu.ops.wire import (head_size, unpack_head,
                                             unpack_levels, unpack_modes4)
         from vp8oclenc_tpu.tables import ARE4X4
@@ -277,16 +272,21 @@ class TPUBackend:
                 prefix = _fetch_prefix(body, n)
             levels = unpack_levels(info, prefix, mbc)
             if fd.is_key:
-                self._key_body_guess = n + (n >> 3)
+                self._key_body_guess = max(n + (n >> 3),
+                                           self._key_body_guess * 7 // 8)
             else:
-                self._body_guess = n + (n >> 1)
+                # slow decay: content alternating small/large frames would
+                # otherwise undershoot on every upswing, paying a second
+                # synchronous multi-hundred-KB fetch through the tunnel
+                self._body_guess = max(n + (n >> 1),
+                                       self._body_guess * 3 // 4)
         fd.levels = levels
         if fd.is_key:
             # seg/part/ref/mvs constants were set by _encode_key; the wire
             # meta carried the same values.  Real bmodes ride a separate
             # small async buffer.
             fd.modes = np.asarray(modes4)
-            return
+            return None
         fd.segment_ids = info["seg"]
         fd.parts = info["part"]
         fd.is_inter = info["part"] != ARE4X4
@@ -298,11 +298,19 @@ class TPUBackend:
         fd.mvs = info["mvs"]
         fd.ssim_min_fx = info["ssim_min_fx"]
         fd.ssim_sum_fx = info["ssim_sum_fx"]
+        if self.cfg.ssim_target > 0.0:
+            from vp8oclenc_tpu.ssim_fx import target_fx
+            tfx3 = target_fx(self.cfg.ssim_target)
+            if info["ssim_sum_fx"] < tfx3 * mbc:
+                return "ssim"
+            if info["replaced"] > mbc // 6:
+                return "replaced"
         # header bookkeeping for the weaken-filter rule (the device already
         # selected the weakened limits; mirror it for the written header)
         from vp8oclenc_tpu.ssim_fx import WEAKEN_FX
         if info["ssim_min_fx"] > WEAKEN_FX and getattr(fd, "weak_seg", None):
             seg.__dict__.update(fd.weak_seg.__dict__)
+        return None
 
     # -------------------------------------------------- loop filter
     def loop_filter(self, segment_ids, inner, seg):

@@ -35,7 +35,11 @@ from vp8oclenc_tpu.tables import (ARE8X8, ARE16X16, LQ_SEGMENT,
                                   SIXTAP_FILTERS)
 
 VECTOR_DIFF_WEIGHT = 64
-BIG = jnp.int32(1 << 28)
+# plain numpy, NOT jnp: a module-level jnp scalar commits to the device at
+# import time and every trace that closes over it pays a blocking device
+# fetch during MLIR lowering (through the remote tunnel: observed 70 s for
+# these 4 bytes)
+BIG = np.int32(1 << 28)
 
 # max full-res excursion of any ref read: |v|<=62 fullpel (2 per level x
 # pixel_rate) + search window 2 + six-tap apron 3 + qpel shift 1 < 80

@@ -151,9 +151,10 @@ def warm_buckets(mbc: int) -> None:
 
 
 def pick_bucket(n_bytes: int, cap: int) -> int:
-    """Smallest power-of-two >= max(n_bytes, 64 KiB), clamped to the body
-    capacity."""
-    b = 1 << 16
+    """Smallest power-of-two >= max(n_bytes, 128 KiB), clamped to the body
+    capacity (the floor costs ~3 ms of streaming; an undershoot costs a
+    second synchronous fetch)."""
+    b = 1 << 17
     while b < n_bytes:
         b <<= 1
     return min(b, cap)

@@ -109,6 +109,14 @@ class MultiChipEncoder:
         # host shells: entropy/bitstream state per GOP stream
         self.shells = [Encoder(cfg, width, height, backend="spec")
                        for _ in range(self.G)]
+        self._pool = None
+
+    def _executor(self):
+        if self._pool is None:
+            from concurrent.futures import ThreadPoolExecutor
+            self._pool = ThreadPoolExecutor(
+                max_workers=max(2, min(self.G, 8)))
+        return self._pool
 
     def _place(self, arrs, nd_rep=None):
         x = jnp.asarray(np.stack(arrs))
@@ -273,16 +281,21 @@ class MultiChipEncoder:
             modes4 = np.asarray(modes4)
 
             # per-lane assembly + SSIM redo decision (check_SSIM,
-            # vp8enc.cpp:443-453)
+            # vp8enc.cpp:443-453); lanes unpack in parallel on the host
+            # thread pool (numpy releases the GIL) — the per-(GxT) python
+            # walk was the dominant host cost at 1080p x 8 lanes
             fds = [None] * G
             redo = [False] * G
-            for g in range(G):
-                if i >= len(gops[g]) or g >= n_real:
-                    continue
-                seg, weak = segs_l[g]
-                fd, min_fx, sum_fx, replaced = self._lane_framedata(
+            active_lanes = [g for g in range(G)
+                            if i < len(gops[g]) and g < n_real]
+            lane_out = dict(zip(active_lanes, self._executor().map(
+                lambda g: self._lane_framedata(
                     heads, bodies, g, is_key=False,
-                    is_altref=is_altref_l[g], modes4=modes4, lv_dev=lv_dev)
+                    is_altref=is_altref_l[g], modes4=modes4, lv_dev=lv_dev),
+                active_lanes)))
+            for g in active_lanes:
+                seg, weak = segs_l[g]
+                fd, min_fx, sum_fx, replaced = lane_out[g]
                 if self.ssim_on and (replaced > mbc // 6
                                      or sum_fx < tfx3 * mbc):
                     redo[g] = True
@@ -309,10 +322,10 @@ class MultiChipEncoder:
                 mask = np.array(redo)
                 new_last = self._select_lanes(mask, kstrips, new_last)
 
-            for g in range(n_real):
-                if fds[g] is not None:
-                    payloads[g].append(
-                        self.shells[g]._finish_frame(*fds[g]))
+            done = [g for g in range(n_real) if fds[g] is not None]
+            for g, payload in zip(done, self._executor().map(
+                    lambda g: self.shells[g]._finish_frame(*fds[g]), done)):
+                payloads[g].append(payload)
 
             # reference bookkeeping (per lane; redo lanes reset like a key)
             last = new_last

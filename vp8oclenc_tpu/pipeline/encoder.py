@@ -250,7 +250,9 @@ class Encoder:
 
     def encode_frame(self, frame: Frame) -> bytes:
         fd, seg = self._frame_pixels(frame)
-        self._finalize_fd(fd, seg)
+        if self._finalize_fd(fd, seg):
+            fd, seg = self._redo_as_key(fd)
+            self._finalize_fd(fd, seg)
         return self._finish_frame(fd, seg)
 
     def _upload_frame(self, frame: Frame):
@@ -274,34 +276,98 @@ class Encoder:
         boolcoder-vs-GPU overlap, changelog.txt:29, plus tunnel-aware
         upload prefetch)."""
         it = iter(frames)
-        pending = None
+        pending = None           # (fd, seg) of frame N-1
+        cur_pre = None           # source of the just-dispatched frame N
         f = next(it, None)
         pre = self._upload_frame(f) if f is not None else None
         while pre is not None:
             nxt = self._frame_pixels(pre[0], yuv_dev=pre[1], padded=True)
+            cur_src = pre
             f = next(it, None)
             pre = self._upload_frame(f) if f is not None else None
             if pending is not None:
-                self._finalize_fd(pending[0], pending[1])
-                yield self._finish_frame(*pending)
+                if self._finalize_fd(pending[0], pending[1]):
+                    # SSIM redo-as-key (speculation failed, rare): roll
+                    # back to the pre-frame snapshot, re-encode N-1 as a
+                    # key, then re-dispatch the discarded frame N against
+                    # the corrected reference state
+                    fd2, seg2 = self._redo_as_key(pending[0])
+                    self._finalize_fd(fd2, seg2)
+                    yield self._finish_frame(fd2, seg2)
+                    nxt = self._frame_pixels(cur_src[0],
+                                             yuv_dev=cur_src[1], padded=True)
+                else:
+                    yield self._finish_frame(*pending)
             pending = nxt
+            cur_pre = cur_src
         if pending is not None:
-            self._finalize_fd(pending[0], pending[1])
-            yield self._finish_frame(*pending)
+            if self._finalize_fd(pending[0], pending[1]):
+                fd2, seg2 = self._redo_as_key(pending[0])
+                self._finalize_fd(fd2, seg2)
+                yield self._finish_frame(fd2, seg2)
+            else:
+                yield self._finish_frame(*pending)
 
-    def _finalize_fd(self, fd: FrameData, seg: SegmentData) -> None:
-        if self.tpu is not None:
-            self.tpu.finalize_framedata(fd, seg)
+    def _finalize_fd(self, fd: FrameData, seg: SegmentData):
+        """Materialize a lazy fd; returns truthy when the SSIM controller
+        demands a redo-as-key (TPU path's speculative check_SSIM)."""
+        if self.tpu is None:
+            return None
+        reason = self.tpu.finalize_framedata(fd, seg)
+        if reason == "ssim":
+            self.stats.scene_changes_by_ssim += 1
+        elif reason == "replaced":
+            self.stats.scene_changes_by_replaced += 1
+        return reason
 
-    def _frame_pixels(self, frame: Frame, yuv_dev=None, padded=False):
+    def _snapshot_state(self):
+        t = self.tpu
+        return (self.frame_number, self.frames_until_key,
+                self.frames_until_altref, self.last_key_detect,
+                self._scene_holdover, self.prev_is_golden,
+                self.prev_is_altref, self.golden_frame_number,
+                self.altref_frame_number, self.last_u, self.last_v,
+                self.recon, t.last, t.last_state, t.golden, t.golden_state,
+                t.altref, t.altref_state, t.pending, t.filtered,
+                t._body_guess)
+
+    def _restore_state(self, s) -> None:
+        t = self.tpu
+        (self.frame_number, self.frames_until_key, self.frames_until_altref,
+         self.last_key_detect, self._scene_holdover, self.prev_is_golden,
+         self.prev_is_altref, self.golden_frame_number,
+         self.altref_frame_number, self.last_u, self.last_v, self.recon,
+         t.last, t.last_state, t.golden, t.golden_state, t.altref,
+         t.altref_state, t.pending, t.filtered, t._body_guess) = s
+
+    def _redo_as_key(self, fd: FrameData):
+        """Re-encode fd's source frame as a keyframe from the pre-frame
+        snapshot (reference vp8enc.cpp:443-453 redo path)."""
+        self._restore_state(fd.ssim_snapshot)
+        p, dev = fd.src_pre
+        return self._frame_pixels(p, yuv_dev=dev, padded=True,
+                                  force_key=True)
+
+    def _frame_pixels(self, frame: Frame, yuv_dev=None, padded=False,
+                      force_key=False):
         p = frame if padded else pad_frame(frame)
         y, u, v = p.y, p.u, p.v
 
+        snap = None
+        if self.tpu is not None and self.cfg.ssim_target > 0.0 \
+                and not force_key:
+            snap = self._snapshot_state()
+
         self.frames_until_key -= 1
         self.frames_until_altref -= 1
-        is_key = self.frames_until_key < 1
+        is_key = self.frames_until_key < 1 or force_key
 
-        if not is_key and self._scene_change(u, v):
+        if force_key:
+            # replay the detector's state side-effects exactly as the
+            # discarded speculative pass did, ignoring its verdict
+            if self.last_u is not None:
+                self._scene_change(u, v)
+        elif not is_key and self._scene_change(u, v):
             self.stats.scene_changes_by_color += 1
             is_key = True
 
@@ -322,6 +388,10 @@ class Encoder:
                 seg = prepare_segments(self.cfg, y, True, is_altref,
                                        strength=seg.raw_strength)
                 fd = self._encode_key(y, u, v, seg, yuv_dev=yuv_dev)
+
+        if snap is not None:
+            fd.ssim_snapshot = snap
+            fd.src_pre = (p, yuv_dev)
 
         self._loop_filter(fd, seg)
 
