@@ -31,40 +31,6 @@ from vp8oclenc_tpu.ops import transforms as T
 from vp8oclenc_tpu.spec.predict import bpred_all_modes, tm_predict_8x8
 
 
-def _luma_diagonals(w4: int, h4: int):
-    """Static wavefront table: (D, K) arrays of by/bx per diagonal
-    (sentinel -1 for unused lanes)."""
-    D = (w4 - 1) + 2 * (h4 - 1) + 1
-    K = max(1, min(h4, (w4 + 1) // 2))
-    by = np.full((D, K), -1, dtype=np.int32)
-    bx = np.full((D, K), -1, dtype=np.int32)
-    for d in range(D):
-        k = 0
-        lo = max(0, (d - (w4 - 1) + 1) // 2)
-        hi = min(h4 - 1, d // 2)
-        for yy in range(lo, hi + 1):
-            xx = d - 2 * yy
-            if 0 <= xx < w4:
-                by[d, k] = yy
-                bx[d, k] = xx
-                k += 1
-    return by, bx
-
-
-def _mb_diagonals(mbw: int, mbh: int):
-    D = mbw + mbh - 1
-    K = min(mbw, mbh)
-    by = np.full((D, K), -1, dtype=np.int32)
-    bx = np.full((D, K), -1, dtype=np.int32)
-    for d in range(D):
-        k = 0
-        for yy in range(max(0, d - mbw + 1), min(mbh - 1, d) + 1):
-            by[d, k] = yy
-            bx[d, k] = d - yy
-            k += 1
-    return by, bx
-
-
 def _gather4x4(plane, r0, c0):
     """plane (H, W); r0/c0 (K,) -> (K, 4, 4) (indices must be in range)."""
     rows = r0[:, None] + jnp.arange(4)[None, :]
@@ -116,29 +82,6 @@ def _luma_mode_and_pred(recon, y_src, byc, bxc, w4):
     return mode, pred, src
 
 
-def _luma_step(d, recon, diag_by, diag_bx, y_src, w4, h4, dc_q, ac_q):
-    """One wavefront stage: reconstruct the diagonal's blocks in place.
-    Only recon is carried — levels/modes are recomputed post-loop."""
-    by = diag_by[d]
-    bx = diag_bx[d]
-    valid = by >= 0
-    byc = jnp.maximum(by, 0)
-    bxc = jnp.maximum(bx, 0)
-
-    _, pred, src = _luma_mode_and_pred(recon, y_src, byc, bxc, w4)
-    res = src - pred
-    lev = T.quant4x4(T.fdct4x4(res), dc_q, ac_q)
-    dq = T.dequant4x4(lev, dc_q, ac_q)
-    rec = jnp.clip(T.idct4x4(dq) + pred, 0, 255)
-
-    # scatter (invalid lanes routed to the scratch rows below the frame)
-    srow = jnp.where(valid, byc * 4, h4 * 4)
-    rows = srow[:, None] + jnp.arange(4)[None, :]
-    cols = (bxc * 4)[:, None] + jnp.arange(4)[None, :]
-    return recon.at[rows[:, :, None], cols[:, None, :]].set(
-        rec.astype(jnp.uint8))
-
-
 def _luma_finalize(recon, y_src, w4, h4, dc_q, ac_q):
     """Recompute every block's mode + zigzag levels from the FINAL
     reconstruction in one vectorized pass: each block's predictors read
@@ -181,28 +124,6 @@ def _chroma_pred_res(recon, uv_src, byc, bxc):
     return pred, src, rows, cols
 
 
-def _chroma_step(d, recon, diag_by, diag_bx, uv_src, mbh, dc_q, ac_q):
-    mby = diag_by[d]
-    mbx = diag_bx[d]
-    valid = mby >= 0
-    byc = jnp.maximum(mby, 0)
-    bxc = jnp.maximum(mbx, 0)
-
-    pred, src, _rows, cols = _chroma_pred_res(recon, uv_src, byc, bxc)
-    res = src - pred
-    blocks = res.reshape(2, -1, 2, 4, 2, 4).transpose(0, 1, 2, 4, 3, 5)
-    lev = T.quant4x4(T.fdct4x4(blocks), dc_q, ac_q)
-    rr = T.idct4x4(T.dequant4x4(lev, dc_q, ac_q))
-    pred_b = pred.reshape(2, -1, 2, 4, 2, 4).transpose(0, 1, 2, 4, 3, 5)
-    rec = jnp.clip(rr + pred_b, 0, 255)
-    rec88 = rec.transpose(0, 1, 2, 4, 3, 5).reshape(2, -1, 8, 8)
-
-    srow = jnp.where(valid, byc * 8, mbh * 8)
-    rows = srow[:, None] + jnp.arange(8)[None, :]
-    return recon.at[:, rows[:, :, None], cols[:, None, :]].set(
-        rec88.astype(jnp.uint8))
-
-
 def _chroma_finalize(recon, uv_src, mbw, mbh, dc_q, ac_q):
     bxc = jnp.tile(jnp.arange(mbw, dtype=jnp.int32), mbh)
     byc = jnp.repeat(jnp.arange(mbh, dtype=jnp.int32), mbw)
@@ -213,8 +134,163 @@ def _chroma_finalize(recon, uv_src, mbw, mbh, dc_q, ac_q):
     return T.zigzag(lev).reshape(2, mbw * mbh, 4, 16).astype(jnp.int16)
 
 
+# ---------------------------------------------------------------------------
+# sheared wavefront (the fast path): band b of 4 (luma) / 8 (chroma) pixel
+# rows is shifted right by 8*b, so every block of anti-diagonal d sits at ONE
+# column (4d luma / 8d chroma) across all bands — each stage is a handful of
+# dynamic slices + one dynamic update instead of whole-plane gathers/scatters
+# (the same trick as the loop filter, ops/loopfilter.py).  Shear/unshear are
+# pure pad+reshape (row stride tricks), not gathers.
+# ---------------------------------------------------------------------------
+
+_OFF_Y = 32
+_OFF_C = 16
+
+
+def _row_shear(X, k: int, off: int, C: int):
+    """S[b, off + k*b + j] = X[b, j]; zeros elsewhere (2D, pure reshapes)."""
+    h, W = X.shape
+    LP = C + k
+    P = jnp.zeros((h, LP), X.dtype).at[:, off:off + W].set(X)
+    return P.reshape(-1)[: h * (LP - k)].reshape(h, LP - k)[:, :C]
+
+
+def _row_unshear(S, k: int, off: int, W: int):
+    h, C = S.shape
+    flat = jnp.concatenate([S.reshape(-1), jnp.zeros(h * k, S.dtype)])
+    return flat[: h * (C + k)].reshape(h, C + k)[:, off:off + W]
+
+
+def _luma_wavefront_sheared(y, w4: int, h4: int, dc_q, ac_q):
+    """Sequential 4x4 B_PRED reconstruction of the whole plane, returning
+    the (h4*4, w4*4) recon — bit-identical to the gather-based wavefront
+    (neighbor rules as in _luma_neighbors, verified by the spec parity
+    tests)."""
+    W = w4 * 4
+    C = _OFF_Y + W + 8 * (h4 - 1) + 4
+    Ysh = jnp.stack([_row_shear(y[r::4], 8, _OFF_Y, C) for r in range(4)],
+                    axis=1)                                 # (h4, 4, C)
+    S0 = jnp.zeros((h4, 4, C), jnp.uint8)
+    D = (w4 - 1) + 2 * (h4 - 1) + 1
+
+    by_np = np.arange(h4)
+    band0 = by_np == 0
+    mbtop0 = by_np < 4                # block's MB is in the top MB row
+    cls = [by_np % 4 == m for m in range(4)]
+
+    def step(d, S):
+        c = _OFF_Y + 4 * d
+        bx = d - 2 * jnp.arange(h4)
+        valid = (bx >= 0) & (bx < w4)
+        row3 = S[:, 3, :]
+        sl = lambda T, col, n: jax.lax.dynamic_slice(
+            T, (0, col), (h4, n)).astype(jnp.int32)
+        t1 = jnp.concatenate([jnp.zeros((1, C), S.dtype), row3[:-1]], 0)
+        a03 = sl(t1, c - 8, 4)
+        a47 = sl(t1, c - 4, 4)
+        edge = sl(t1, c - 5, 1)
+        P_ = sl(t1, c - 9, 1)[:, 0]
+        # above-right of an MB's rightmost block column comes from the row
+        # above the whole MB: band by - by%4 - 1 (spec above-MB-row rule)
+        a47_3 = jnp.zeros_like(a47)
+        edge3 = jnp.zeros_like(edge)
+        for m in range(4):
+            tm = jnp.concatenate(
+                [jnp.zeros((m + 1, C), S.dtype), row3[:-(m + 1)]], 0)
+            msk = jnp.asarray(cls[m])[:, None]
+            a47_3 = jnp.where(msk, sl(tm, c - 4 - 8 * m, 4), a47_3)
+            edge3 = jnp.where(msk, sl(tm, c - 5 - 8 * m, 1), edge3)
+        is3 = (bx % 4 == 3)
+        a47f = jnp.where(is3[:, None], a47_3, a47)
+        er = jnp.where(is3[:, None], edge3, edge)
+        a47f = jnp.where((bx == w4 - 1)[:, None],
+                         jnp.broadcast_to(er, (h4, 4)), a47f)
+        a47f = jnp.where((is3 & jnp.asarray(mbtop0))[:, None], 127, a47f)
+        A = jnp.concatenate([a03, a47f], axis=1)
+        A = jnp.where(jnp.asarray(band0)[:, None], 127, A)
+        L = jax.lax.dynamic_slice(
+            S, (0, 0, c - 1), (h4, 4, 1))[:, :, 0].astype(jnp.int32)
+        bx0 = bx == 0
+        L = jnp.where(bx0[:, None], 129, L)
+        P_ = jnp.where(jnp.asarray(band0), 127, jnp.where(bx0, 129, P_))
+
+        src = jax.lax.dynamic_slice(
+            Ysh, (0, 0, c), (h4, 4, 4)).astype(jnp.int32)
+        preds = bpred_all_modes(A, L, P_, xp=jnp)
+        costs = T.dct_weight(src[:, None] - preds)
+        mode = jnp.argmin(costs, axis=1).astype(jnp.int32)
+        pred = jnp.take_along_axis(
+            preds, mode[:, None, None, None], axis=1)[:, 0]
+        lev = T.quant4x4(T.fdct4x4(src - pred), dc_q, ac_q)
+        rec = jnp.clip(T.idct4x4(T.dequant4x4(lev, dc_q, ac_q)) + pred,
+                       0, 255)
+        old = jax.lax.dynamic_slice(S, (0, 0, c), (h4, 4, 4))
+        new = jnp.where(valid[:, None, None], rec,
+                        old.astype(jnp.int32)).astype(jnp.uint8)
+        return jax.lax.dynamic_update_slice(S, new, (0, 0, c))
+
+    S = jax.lax.fori_loop(0, D, step, S0)
+    rows = [_row_unshear(S[:, r, :], 8, _OFF_Y, W) for r in range(4)]
+    return jnp.stack(rows, axis=1).reshape(h4 * 4, W)
+
+
+def _chroma_wavefront_sheared(uv, mbw: int, mbh: int, dc_q, ac_q):
+    """Sequential TM_PRED chroma recon, U and V batched; (2, mbh*8, mbw*8)."""
+    W2 = mbw * 8
+    C = _OFF_C + W2 + 8 * (mbh - 1) + 8
+    sh = lambda p: jnp.stack(
+        [_row_shear(p[r::8], 8, _OFF_C, C) for r in range(8)], axis=1)
+    UVsh = jnp.stack([sh(uv[0]), sh(uv[1])])                # (2, mbh, 8, C)
+    S0 = jnp.zeros((2, mbh, 8, C), jnp.uint8)
+    D = mbw + mbh - 1
+    band0 = np.arange(mbh) == 0
+
+    def step(d, S):
+        c = _OFF_C + 8 * d
+        bx = d - jnp.arange(mbh)
+        valid = (bx >= 0) & (bx < mbw)
+        row7 = S[:, :, 7, :]
+        t1 = jnp.concatenate([jnp.zeros((2, 1, C), S.dtype), row7[:, :-1]],
+                             axis=1)
+        top = jax.lax.dynamic_slice(t1, (0, 0, c - 8),
+                                    (2, mbh, 8)).astype(jnp.int32)
+        tl = jax.lax.dynamic_slice(t1, (0, 0, c - 9),
+                                   (2, mbh, 1))[:, :, 0].astype(jnp.int32)
+        left = jax.lax.dynamic_slice(
+            S, (0, 0, 0, c - 1), (2, mbh, 8, 1))[:, :, :, 0] \
+            .astype(jnp.int32)
+        b0 = jnp.asarray(band0)
+        top = jnp.where(b0[None, :, None], 127, top)
+        bx0 = bx == 0
+        left = jnp.where(bx0[None, :, None], 129, left)
+        tl = jnp.where(b0[None, :], 127, jnp.where(bx0[None, :], 129, tl))
+
+        src = jax.lax.dynamic_slice(
+            UVsh, (0, 0, 0, c), (2, mbh, 8, 8)).astype(jnp.int32)
+        pred = tm_predict_8x8(top, left, tl, xp=jnp)        # (2, mbh, 8, 8)
+        res = src - pred
+        blocks = res.reshape(2, mbh, 2, 4, 2, 4).transpose(0, 1, 2, 4, 3, 5)
+        lev = T.quant4x4(T.fdct4x4(blocks), dc_q, ac_q)
+        rr = T.idct4x4(T.dequant4x4(lev, dc_q, ac_q))
+        pred_b = pred.reshape(2, mbh, 2, 4, 2, 4).transpose(0, 1, 2, 4, 3, 5)
+        rec = jnp.clip(rr + pred_b, 0, 255)
+        rec88 = rec.transpose(0, 1, 2, 4, 3, 5).reshape(2, mbh, 8, 8)
+        old = jax.lax.dynamic_slice(S, (0, 0, 0, c), (2, mbh, 8, 8))
+        new = jnp.where(valid[None, :, None, None], rec88,
+                        old.astype(jnp.int32)).astype(jnp.uint8)
+        return jax.lax.dynamic_update_slice(S, new, (0, 0, 0, c))
+
+    S = jax.lax.fori_loop(0, D, step, S0)
+
+    def unsh(plane_sh):                                     # (mbh, 8, C)
+        rows = [_row_unshear(plane_sh[:, r, :], 8, _OFF_C, W2)
+                for r in range(8)]
+        return jnp.stack(rows, axis=1).reshape(mbh * 8, W2)
+
+    return jnp.stack([unsh(S[0]), unsh(S[1])])
+
+
 def intra_body(y, u, v, y_dc_q, y_ac_q, uv_dc_q, uv_ac_q,
-               ldiag_by, ldiag_bx, cdiag_by, cdiag_bx,
                wrk_w: int, wrk_h: int):
     """Traceable whole-frame keyframe encode (also used inside shard_map by
     the multichip path).  Returns (recon_y, recon_u, recon_v,
@@ -222,23 +298,12 @@ def intra_body(y, u, v, y_dc_q, y_ac_q, uv_dc_q, uv_ac_q,
     w4, h4 = wrk_w // 4, wrk_h // 4
     mbw, mbh = wrk_w // 16, wrk_h // 16
     mbc = mbw * mbh
-    recon_y = jnp.zeros((wrk_h + 4, wrk_w), dtype=jnp.uint8)
 
-    def lstep(d, r):
-        return _luma_step(d, r, ldiag_by, ldiag_bx, y, w4, h4,
-                          y_dc_q, y_ac_q)
-
-    recon_y = jax.lax.fori_loop(0, ldiag_by.shape[0], lstep, recon_y)
+    recon_y = _luma_wavefront_sheared(y, w4, h4, y_dc_q, y_ac_q)
     levels_y, modes = _luma_finalize(recon_y, y, w4, h4, y_dc_q, y_ac_q)
 
     uv = jnp.stack([u, v])
-    recon_uv = jnp.zeros((2, wrk_h // 2 + 8, wrk_w // 2), dtype=jnp.uint8)
-
-    def cstep(d, r):
-        return _chroma_step(d, r, cdiag_by, cdiag_bx, uv, mbh,
-                            uv_dc_q, uv_ac_q)
-
-    recon_uv = jax.lax.fori_loop(0, cdiag_by.shape[0], cstep, recon_uv)
+    recon_uv = _chroma_wavefront_sheared(uv, mbw, mbh, uv_dc_q, uv_ac_q)
     levels_uv = _chroma_finalize(recon_uv, uv, mbw, mbh, uv_dc_q, uv_ac_q)
 
     # (mbc, 25, 16) packed levels (Y 16, U 4, V 4, Y2 zero) — the same
@@ -248,34 +313,19 @@ def intra_body(y, u, v, y_dc_q, y_ac_q, uv_dc_q, uv_ac_q,
         [levels_y, levels_uv[0], levels_uv[1],
          jnp.zeros((mbc, 1, 16), jnp.int16)], axis=1)
 
-    return (recon_y[:wrk_h], recon_uv[0, :wrk_h // 2],
-            recon_uv[1, :wrk_h // 2], levels_pack, modes.astype(jnp.int8))
+    return (recon_y, recon_uv[0], recon_uv[1], levels_pack,
+            modes.astype(jnp.int8))
 
 
 @lru_cache(maxsize=8)
 def _cachehook_build_intra_kernel(wrk_w: int, wrk_h: int):
     """Compile the full keyframe kernel for one working resolution."""
-    w4, h4 = wrk_w // 4, wrk_h // 4
-    mbw, mbh = wrk_w // 16, wrk_h // 16
-    ldiag_by, ldiag_bx = _luma_diagonals(w4, h4)
-    cdiag_by, cdiag_bx = _mb_diagonals(mbw, mbh)
-
-    # Diagonal tables are passed as jit *arguments*, not closure constants:
-    # committed jax.Array constants are fetched one-by-one during MLIR
-    # lowering, which is pathologically slow through the remote-TPU tunnel.
-
     @jax.jit
-    def kernel(y, u, v, y_dc_q, y_ac_q, uv_dc_q, uv_ac_q,
-               ldiag_by, ldiag_bx, cdiag_by, cdiag_bx):
+    def kernel(y, u, v, y_dc_q, y_ac_q, uv_dc_q, uv_ac_q):
         return intra_body(y, u, v, y_dc_q, y_ac_q, uv_dc_q, uv_ac_q,
-                          ldiag_by, ldiag_bx, cdiag_by, cdiag_bx,
                           wrk_w, wrk_h)
 
-    def run(y, u, v, y_dc_q, y_ac_q, uv_dc_q, uv_ac_q):
-        return kernel(y, u, v, y_dc_q, y_ac_q, uv_dc_q, uv_ac_q,
-                      ldiag_by, ldiag_bx, cdiag_by, cdiag_bx)
-
-    return run
+    return kernel
 
 
 def encode_intra_frame_tpu(y: np.ndarray, u: np.ndarray, v: np.ndarray, seg):

@@ -82,7 +82,6 @@ class MultiChipEncoder:
     """Encode G GOPs in lockstep over a (gop, tile) mesh."""
 
     def __init__(self, cfg: EncoderConfig, width: int, height: int, mesh):
-        from vp8oclenc_tpu.ops.intra import _luma_diagonals, _mb_diagonals
         from vp8oclenc_tpu.parallel.tile import (build_strips_fn,
                                                  build_tile_frame_step,
                                                  build_tile_key_step)
@@ -102,8 +101,6 @@ class MultiChipEncoder:
                                           ssim_enabled=self.ssim_on)
         self.kstep = build_tile_key_step(mesh, self.wrk_w, self.wrk_h)
         self.strips = build_strips_fn(mesh, self.wrk_w, self.wrk_h)
-        self.ldiag = _luma_diagonals(self.wrk_w // 4, self.wrk_h // 4)
-        self.cdiag = _mb_diagonals(self.wrk_w // 16, self.wrk_h // 16)
         self.gsh = NamedSharding(mesh, P("gop", "tile", None))
         self.rep = lambda nd: NamedSharding(mesh, P(*(("gop",) + (None,) * nd)))
         # host shells: entropy/bitstream state per GOP stream
@@ -147,9 +144,7 @@ class MultiChipEncoder:
             self._place([f.y for f in frames_g]),
             self._place([f.u for f in frames_g]),
             self._place([f.v for f in frames_g]),
-            self._place(qs, nd_rep=1), self._place(lf, nd_rep=2),
-            jnp.asarray(self.ldiag[0]), jnp.asarray(self.ldiag[1]),
-            jnp.asarray(self.cdiag[0]), jnp.asarray(self.cdiag[1]))
+            self._place(qs, nd_rep=1), self._place(lf, nd_rep=2))
         return np.asarray(heads), np.asarray(bodies), np.asarray(modes), \
             lv_dev, strips
 

@@ -261,8 +261,8 @@ def sharded_key_step(wrk_w: int, wrk_h: int, ntile: int, axis: str = "tile"):
     path — previously every GOP start ran host numpy while all chips
     idled, VERDICT r3 #3):
 
-      fn(y, u, v, qs, lf, ldby, ldbx, cdby, cdbx) ->
-         (head, body, modes_own, recon_shard, new_last_state)
+      fn(y, u, v, qs, lf) ->
+         (head, body, modes_own, lv_own, recon_shard, new_last_state)
 
     The intra wavefront's raster dependency spans the whole frame, so each
     chip all-gathers the frame rows over `tile` and runs the full-frame
@@ -270,8 +270,7 @@ def sharded_key_step(wrk_w: int, wrk_h: int, ntile: int, axis: str = "tile"):
     per GOP); its OWN MB rows are then sliced out for the loop filter,
     wire pack and reference strips, all shard-local.  qs: (4,) i32
     [y_dc, y_ac, uv_dc, uv_ac] intra quantizers; lf: (5, 4) i32 key-frame
-    filter limits; ld*/cd*: the wavefront diagonal tables
-    (ops.intra._luma_diagonals/_mb_diagonals), passed as arrays."""
+    filter limits."""
     from vp8oclenc_tpu.ops.intra import intra_body
     from vp8oclenc_tpu.ops.wire import pack_wire
     from vp8oclenc_tpu.tables import ARE4X4, INTRA_SEGMENT
@@ -283,13 +282,12 @@ def sharded_key_step(wrk_w: int, wrk_h: int, ntile: int, axis: str = "tile"):
     mbh_global = wrk_h // 16
     mbc_loc = mbw * mbh_local
 
-    def fn(y, u, v, qs, lf, ldby, ldbx, cdby, cdbx):
+    def fn(y, u, v, qs, lf):
         yf = jax.lax.all_gather(y, axis, axis=0, tiled=True)
         uf = jax.lax.all_gather(u, axis, axis=0, tiled=True)
         vf = jax.lax.all_gather(v, axis, axis=0, tiled=True)
         ry, ru, rv, levels_pack, modes = intra_body(
-            yf, uf, vf, qs[0], qs[1], qs[2], qs[3],
-            ldby, ldbx, cdby, cdbx, wrk_w, wrk_h)
+            yf, uf, vf, qs[0], qs[1], qs[2], qs[3], wrk_w, wrk_h)
 
         idx = jax.lax.axis_index(axis)
         row0 = idx * shard_h
@@ -387,16 +385,13 @@ def build_tile_key_step(mesh, wrk_w: int, wrk_h: int):
     ntile = mesh.shape["tile"]
     per_shard = sharded_key_step(wrk_w, wrk_h, ntile)
 
-    def local(y, u, v, qs, lf, ldby, ldbx, cdby, cdbx):
-        fn = lambda a, b, c, q, l: per_shard(a, b, c, q, l, ldby, ldbx,
-                                             cdby, cdbx)
-        return jax.vmap(fn)(y, u, v, qs, lf)
+    def local(y, u, v, qs, lf):
+        return jax.vmap(per_shard)(y, u, v, qs, lf)
 
     g = P("gop", "tile", None)
     strip_specs = jax.tree.map(
         lambda _: g, build_ref_strips_example_structure())
-    in_specs = (g, g, g, P("gop", None), P("gop", None, None),
-                P(None, None), P(None, None), P(None, None), P(None, None))
+    in_specs = (g, g, g, P("gop", None), P("gop", None, None))
     out_specs = (P("gop", "tile"), P("gop", "tile"),
                  P("gop", "tile", None), P("gop", "tile", None, None),
                  (g, g, g), strip_specs)

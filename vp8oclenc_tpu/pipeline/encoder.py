@@ -277,7 +277,6 @@ class Encoder:
         upload prefetch)."""
         it = iter(frames)
         pending = None           # (fd, seg) of frame N-1
-        cur_pre = None           # source of the just-dispatched frame N
         f = next(it, None)
         pre = self._upload_frame(f) if f is not None else None
         while pre is not None:
@@ -299,7 +298,6 @@ class Encoder:
                 else:
                     yield self._finish_frame(*pending)
             pending = nxt
-            cur_pre = cur_src
         if pending is not None:
             if self._finalize_fd(pending[0], pending[1]):
                 fd2, seg2 = self._redo_as_key(pending[0])
