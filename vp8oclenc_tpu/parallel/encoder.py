@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 
 from vp8oclenc_tpu.config import EncoderConfig
-from vp8oclenc_tpu.io.y4m import Frame, pad_frame
+from vp8oclenc_tpu.io.y4m import pad_frame
 from vp8oclenc_tpu.pipeline.encoder import (Encoder, FrameData,
                                             scene_change_step)
 from vp8oclenc_tpu.pipeline.segments import prepare_segments

@@ -23,7 +23,6 @@ the single-chip kernel bit-for-bit (tests/test_tile_sharding.py).
 """
 from __future__ import annotations
 
-from functools import lru_cache
 
 import jax
 import jax.numpy as jnp
