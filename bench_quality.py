@@ -36,7 +36,8 @@ def synth_sequence(w, h, n, seed=0):
     return frames
 
 
-def run_config(name, cfg_kwargs, frames, w, h, backend, fps=30):
+def run_config(name, cfg_kwargs, frames, w, h, backend, fps=30,
+               decode_frames=None):
     from vp8oclenc_tpu.config import EncoderConfig
     from vp8oclenc_tpu.pipeline.encoder import Encoder
     from vp8oclenc_tpu.decoder.vp8dec import VP8Decoder
@@ -46,14 +47,18 @@ def run_config(name, cfg_kwargs, frames, w, h, backend, fps=30):
     dec = VP8Decoder()
     total = 0
     psnrs, ssims = [], []
-    for f in frames:
+    for i, f in enumerate(frames):
         payload = enc.encode_frame(f)
         total += len(payload)
-        out = dec.decode_frame(payload)
         ry, ru, rv = (np.asarray(p) for p in enc.recon)
-        assert np.array_equal(out.y, ry), f"{name}: decode != recon"
+        if decode_frames is None or i < decode_frames:
+            # decoder oracle (the python decoder is slow at HD sizes;
+            # decode==recon equivalence is separately proven by the test
+            # suite at smaller sizes, so HD rows may spot-check frame 0)
+            out = dec.decode_frame(payload)
+            assert np.array_equal(out.y, ry), f"{name}: decode != recon"
         src = (f.y, f.u, f.v)
-        rec = (out.y[:h, :w], out.u[:h // 2, :w // 2], out.v[:h // 2, :w // 2])
+        rec = (ry[:h, :w], ru[:h // 2, :w // 2], rv[:h // 2, :w // 2])
         psnrs.append(frame_psnr(src, rec)["all"])
         ssims.append((ssim_plane(src[0], rec[0]) * 2
                       + ssim_plane(src[1], rec[1])
@@ -69,7 +74,27 @@ def main(argv=None):
     ap.add_argument("--backend", default="tpu", choices=["spec", "tpu"])
     ap.add_argument("--frames", type=int, default=8)
     ap.add_argument("--size", default="352x288")
+    ap.add_argument("--hd", action="store_true",
+                    help="append a 1280x720 full-feature row (BASELINE "
+                         "config 3) to the existing bench_quality.json")
     args = ap.parse_args(argv)
+
+    if args.hd:
+        w, h = 1280, 720
+        frames = synth_sequence(w, h, 4)
+        row = run_config("full_720p_q12-40",
+                         dict(qi_min=12, qi_max=40, gop_size=100,
+                              altref_range=5, ssim_target=0.93),
+                         frames, w, h, args.backend, decode_frames=1)
+        with open("bench_quality.json") as fh:
+            out = json.load(fh)
+        out["hd_rows"] = [dict(row, size="1280x720", frames=4,
+                               backend=args.backend)]
+        with open("bench_quality.json", "w") as fh:
+            json.dump(out, fh, indent=1)
+        print(json.dumps(out["hd_rows"]))
+        return 0
+
     w, h = (int(x) for x in args.size.split("x"))
     frames = synth_sequence(w, h, args.frames)
 
