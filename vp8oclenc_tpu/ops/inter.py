@@ -320,13 +320,21 @@ def search_level(cur, ref_pad, pads, src_vec, pixel_rate: int, penalty: bool,
     from vp8oclenc_tpu.ops import pallas_kernels as PK
     pmode = PK.mode()
     if pmode != "off" and R == 3:
-        costs = PK.fullpel_costs(patches, cur_blocks.astype(jnp.uint8),
-                                 interpret=(pmode == "interpret"))
-    else:
-        cand = _const_matmul(patches, _sel25_matrix())  # (2, R, n, 1600) f32
-        cur_t = jnp.tile(cur_blocks.astype(jnp.bfloat16), (1, 25))
-        res = (cand.astype(jnp.bfloat16) - cur_t[None, None])
-        costs = T.dct_cost_rows64(res.reshape(2, R, n, 25, 64))
+        # extraction + cost + penalty/validity + earliest-min select in one
+        # VMEM-resident kernel; row0 rides as a scalar so the row-sharded
+        # search uses the same kernel
+        best_x, best_y = PK.fullpel_search50(
+            patches, cur_blocks.astype(jnp.uint8), v0.astype(jnp.int32),
+            row0, nbx, W, full_h, penalty,
+            interpret=(pmode == "interpret"))
+        vx = (best_x - cx[None]) * pixel_rate
+        vy = (best_y - cy[None]) * pixel_rate
+        return jnp.stack([vx, vy], axis=-1).reshape(R, nby, nbx, 2)
+
+    cand = _const_matmul(patches, _sel25_matrix())      # (2, R, n, 1600) f32
+    cur_t = jnp.tile(cur_blocks.astype(jnp.bfloat16), (1, 25))
+    res = (cand.astype(jnp.bfloat16) - cur_t[None, None])
+    costs = T.dct_cost_rows64(res.reshape(2, R, n, 25, 64))
     costs = jnp.moveaxis(costs, 3, 1).reshape(50, R, n)  # (2, R, n, 25) in
 
     pxs, pys = [], []

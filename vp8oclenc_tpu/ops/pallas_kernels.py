@@ -207,6 +207,116 @@ def _build_fullpel_call(n_pad: int, interpret: bool):
     ), consts_np
 
 
+_FP_BIG = np.int32(1 << 28)
+
+
+@lru_cache(maxsize=16)
+def _build_fullpel_search_call(n_pad: int, nbx: int, W: int, full_h: int,
+                               penalty: bool, interpret: bool):
+    """Fullpel costs + penalty/validity + earliest-minimum select fused:
+    outputs per (ref, block) the winning candidate's ABSOLUTE (x, y) in
+    this level's pixel units.  Candidate order [window1 0..24, window0
+    0..24] with window-1 winning ties, exactly _select_first_min over the
+    XLA stack.  row0 rides as a scalar input so the row-sharded search
+    works too."""
+    B = _B_FULLPEL
+    sm, m64, seg16, quad4 = _fullpel_consts()
+    consts_np = ((sm, jnp.bfloat16), (m64, jnp.bfloat16),
+                 (seg16, jnp.bfloat16), (quad4, jnp.float32))
+
+    def kernel(row0_ref, patch_ref, cur_ref, v0_ref, sm_ref, m64_ref,
+               seg_ref, quad_ref, out_ref):
+        i = pl.program_id(0)
+        p = _bf16(patch_ref[:].reshape(6 * B, 384))
+        x = _dot(p, sm_ref[:])                          # (6B, 1600) f32
+        cm = _dot(_bf16(cur_ref[:]), m64_ref[:])        # (B, 64) f32
+        cmt = jnp.tile(cm, (6, 25))
+        s100 = _seg_dot_u8chunks(jnp.abs(x - cmt), seg_ref[:])
+        q = (s100.astype(jnp.int32) >> COST_SHIFT).astype(jnp.float32)
+        costs = _dotx(q, quad_ref[:]).astype(jnp.int32)  # (6B, 25)
+
+        blk = i * B + jax.lax.broadcasted_iota(jnp.int32, (3 * B, 25), 0) % B
+        cx = (blk % nbx) * 8
+        cy = (blk // nbx) * 8
+        cand = jax.lax.broadcasted_iota(jnp.int32, (3 * B, 25), 1)
+        dx = cand % 5 - 2
+        dy = cand // 5 - 2
+        v0x = jnp.tile(v0_ref[:, :, 0].reshape(3 * B, 1), (1, 25))
+        v0y = jnp.tile(v0_ref[:, :, 1].reshape(3 * B, 1), (1, 25))
+        r0 = row0_ref[0, 0]
+
+        def window(c, px, py, pen):
+            inv = (px < 0) | (px > W - 8) | (py + r0 < 0) \
+                | (py + r0 > full_h - 8)
+            t = jnp.where(inv, _FP_BIG, c + pen)
+            m = jnp.min(t, axis=-1, keepdims=True)
+            idx = jnp.min(jnp.where(t == m, cand, 25), axis=-1,
+                          keepdims=True)
+            # one-hot sum select (Mosaic-safe lane extraction)
+            hit = cand == idx
+            bx = jnp.sum(jnp.where(hit, px, 0), axis=-1, keepdims=True)
+            by = jnp.sum(jnp.where(hit, py, 0), axis=-1, keepdims=True)
+            return m, bx, by
+
+        pen1 = (jnp.abs(dx) + jnp.abs(dy)) * 32 if penalty else 0
+        pen0 = (jnp.abs(dx - v0x) + jnp.abs(dy - v0y)) * 32 if penalty else 0
+        m1, bx1, by1 = window(costs[:3 * B], cx + v0x + dx, cy + v0y + dy,
+                              pen1)
+        m0, bx0, by0 = window(costs[3 * B:], cx + dx, cy + dy, pen0)
+        use1 = m1 <= m0                  # window 1 ordered first: wins ties
+        best_x = jnp.where(use1, bx1, bx0)
+        best_y = jnp.where(use1, by1, by0)
+        out_ref[:] = jnp.concatenate(
+            [best_x, best_y, jnp.zeros((3 * B, 126), jnp.int32)],
+            axis=-1).reshape(3, B, 128)
+
+    call = pl.pallas_call(
+        kernel,
+        grid=(n_pad // B,),
+        out_shape=jax.ShapeDtypeStruct((3, n_pad, 128), jnp.int32),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((2, 3, B, 384), lambda i: (0, 0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, 64), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, B, 2), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((384, 1600), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((64, 64), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1600, 100), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((100, 25), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((3, B, 128), lambda i: (0, i, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )
+    return call, consts_np
+
+
+def fullpel_search50(patches, cur64, v0, row0, nbx: int, W: int,
+                     full_h: int, penalty: bool, interpret: bool = False):
+    """patches (2, 3, n, 384) u8; cur64 (n, 64) u8; v0 (3, n, 2) i32
+    inherited vectors (this level's pel units); row0 traced i32 scalar
+    (shard's global top row, 0 single-chip).  Returns (best_x, best_y)
+    (3, n) i32 absolute candidate positions — the earliest minimum of the
+    50-candidate dual-window search."""
+    from vp8oclenc_tpu.utils.hostconst import host_const
+    n = patches.shape[2]
+    n_pad = -(-n // _B_FULLPEL) * _B_FULLPEL
+    if n_pad != n:
+        patches = jnp.pad(patches, ((0, 0), (0, 0), (0, n_pad - n), (0, 0)))
+        cur64 = jnp.pad(cur64, ((0, n_pad - n), (0, 0)))
+        v0 = jnp.pad(v0, ((0, 0), (0, n_pad - n), (0, 0)))
+    call, consts_np = _build_fullpel_search_call(n_pad, nbx, W, full_h,
+                                                 penalty, interpret)
+    out = call(jnp.asarray(row0, jnp.int32).reshape(1, 1), patches, cur64,
+               v0, *(host_const(a, d) for a, d in consts_np))[:, :n]
+    return out[:, :, 0], out[:, :, 1]
+
+
 def fullpel_costs(patches, cur64, interpret: bool = False):
     """patches (2, 3, n, 384) u8 flat 12x(32-stride) windows; cur64 (n, 64)
     u8 current blocks -> (2, 3, n, 25) i32 candidate costs, bit-identical
