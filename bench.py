@@ -75,7 +75,8 @@ def time_inter_kernel(enc, frames):
     kern = build_inter_kernel(tpu.wrk_w, tpu.wrk_h, ssim_enabled=False)
     seg_q = jnp.asarray(np.array([8, 10, 12, 14], np.int32))
     args = (yuv, (ls[0], ls[0], ls[0]), (ls[1], ls[1], ls[1]),
-            (ls[2], ls[2], ls[2]), jnp.asarray(np.array([True, True, True])),
+            (ls[2], ls[2], ls[2]), (ls[3], ls[3], ls[3]),
+            jnp.asarray(np.array([True, True, True])),
             seg_q, seg_q, seg_q, seg_q, seg_q, seg_q, jnp.int32(-1))
     jax.block_until_ready(kern.yuv(*args))
     best = 1e9

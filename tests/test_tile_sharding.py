@@ -51,11 +51,12 @@ def _single_chip(ref, cur, segq, lf):
     from vp8oclenc_tpu.tables import ARE16X16
 
     kern = build_inter_kernel(W, H, ssim_enabled=False)
-    pyr, u_pad, v_pad = build_ref_state_kernel(W, H)(
+    pyr, tbl, u_pad, v_pad = build_ref_state_kernel(W, H)(
         jnp.asarray(ref[0]), jnp.asarray(ref[1]), jnp.asarray(ref[2]))
     out = kern.pyr(
         jnp.asarray(cur[0]), jnp.asarray(cur[1]), jnp.asarray(cur[2]),
-        (pyr, pyr, pyr), (u_pad, u_pad, u_pad), (v_pad, v_pad, v_pad),
+        (pyr, pyr, pyr), (tbl, tbl, tbl),
+        (u_pad, u_pad, u_pad), (v_pad, v_pad, v_pad),
         jnp.asarray(np.array([True, False, False])),
         *(jnp.asarray(segq[i]) for i in range(6)), jnp.int32(-1))
     levels_pack, meta, cur_ssim, ry, ru, rv = out[:6]

@@ -56,7 +56,8 @@ def main():
         yuv = jnp.asarray(np.concatenate([y.ravel(), u.ravel(), v.ravel()]))
         jax.block_until_ready(yuv)
         args = (yuv, (ls[0], ls[0], ls[0]), (ls[1], ls[1], ls[1]),
-                (ls[2], ls[2], ls[2]), jnp.asarray(np.array([True, False, False])),
+                (ls[2], ls[2], ls[2]), (ls[3], ls[3], ls[3]),
+                jnp.asarray(np.array([True, False, False])),
                 jnp.asarray(seg.y_dc_q.astype(np.int32)),
                 jnp.asarray(seg.y_ac_q.astype(np.int32)),
                 jnp.asarray(seg.y2_dc_q.astype(np.int32)),

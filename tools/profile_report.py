@@ -84,15 +84,17 @@ def measure_device(sync_ms):
     v = rng.integers(0, 256, (H // 2, W // 2), np.uint8)
 
     rkern = I.build_ref_state_kernel(W, H)
-    pyr, u_pad, v_pad = rkern(jnp.asarray(y), jnp.asarray(u), jnp.asarray(v))
-    pyrs, u_pads, v_pads = (pyr,) * 3, (u_pad,) * 3, (v_pad,) * 3
+    pyr, tbl, u_pad, v_pad = rkern(jnp.asarray(y), jnp.asarray(u),
+                                   jnp.asarray(v))
+    pyrs, tbls = (pyr,) * 3, (tbl,) * 3
+    u_pads, v_pads = (u_pad,) * 3, (v_pad,) * 3
     yuv = jnp.asarray(np.concatenate([y.ravel(), u.ravel(), v.ravel()]))
     q = jnp.asarray(np.array([8, 10, 12, 14], np.int32))
 
     out = {}
     for ssim_on in (False, True):
         kern = I.build_inter_kernel(W, H, ssim_enabled=ssim_on)
-        args = (yuv, pyrs, u_pads, v_pads,
+        args = (yuv, pyrs, tbls, u_pads, v_pads,
                 jnp.asarray(np.array([True, True, True])), q, q, q, q, q, q,
                 jnp.int32(88000 if ssim_on else -1))
         t = best_of(lambda: kern.yuv(*args))

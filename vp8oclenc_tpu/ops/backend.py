@@ -68,9 +68,8 @@ class TPUBackend:
     def _set_last(self, recon) -> None:
         from vp8oclenc_tpu.ops.inter import build_ref_state_kernel
         self.last = recon
-        pyr, u_pad, v_pad = build_ref_state_kernel(
+        self.last_state = build_ref_state_kernel(
             self.wrk_w, self.wrk_h)(*recon)
-        self.last_state = (pyr, u_pad, v_pad)
 
     def _split_yuv(self, yuv_dev):
         """Device-side slice of a prefetched flat yuv buffer into planes."""
@@ -185,7 +184,8 @@ class TPUBackend:
             kern.yuv(
                 yuv,
                 (ls[0], gs[0], als[0]), (ls[1], gs[1], als[1]),
-                (ls[2], gs[2], als[2]), jnp.asarray(ref_valid),
+                (ls[2], gs[2], als[2]), (ls[3], gs[3], als[3]),
+                jnp.asarray(ref_valid),
                 jnp.asarray(seg.y_dc_q.astype(np.int32)),
                 jnp.asarray(seg.y_ac_q.astype(np.int32)),
                 jnp.asarray(seg.y2_dc_q.astype(np.int32)),

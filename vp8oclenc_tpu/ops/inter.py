@@ -77,9 +77,10 @@ def _tile_take_patch(planes, pidx, gy, gx, ph: int, pw: int,
     One jnp.take of whole 128B tile rows (the fast TPU gather path); the
     per-block sub-tile (row, col) offset is then resolved on the FLAT lane
     axis by a binary shift decomposition — 3 + 4 conditional lane-shift
-    passes over a 128-multiple minor dim.  (A per-offset select chain on
-    (…, ph, pw) arrays pads the tiny minor dims to 128 lanes, inflating
-    HBM traffic ~10x; it dominated the fused kernel's runtime.)"""
+    passes over a 128-multiple minor dim.  (The real-TPU search path uses
+    build_phase_tables/phase_gather instead: x-phase-duplicated tables
+    whose rows ARE whole unshifted patches, leaving only 3 in-VMEM row
+    rolls to the Pallas kernels.)"""
     K, PH, PW = planes.shape
     TB, TC = PH // 8, PW // 16
     tr = -(-(ph + 7) // 8)
@@ -100,9 +101,9 @@ def _tile_take_patch(planes, pidx, gy, gx, ph: int, pw: int,
     g = jnp.take(table, tid.reshape(-1), axis=0)
     g = g.reshape(*lead, tr, tc, 8, 16)
     flat = jnp.swapaxes(g, -3, -2).reshape(*lead, tr * 8 * W2)
+    ry = jnp.broadcast_to(ry, lead)
+    rx = jnp.broadcast_to(rx, lead)
 
-    # shift out ry rows (units of W2 lanes) then rx cols, one bit at a time;
-    # every intermediate keeps a 128-multiple-friendly flat minor dim
     def shift(a, amt, cond):
         L = a.shape[-1] - amt
         lo = jax.lax.slice_in_dim(a, 0, L, axis=-1)
@@ -120,6 +121,78 @@ def _tile_take_patch(planes, pidx, gy, gx, ph: int, pw: int,
             axis=-1)
     out = jax.lax.slice_in_dim(flat, 0, need, axis=-1)
     return out if as_flat else out.reshape(*lead, ph, W2)
+
+
+# ---------------------------------------------------------------------------
+# x-phase patch tables — the real-TPU search gather
+# ---------------------------------------------------------------------------
+#
+# A candidate patch read is (y, x) -> up to 17 rows x 14 cols at arbitrary
+# offset.  Instead of assembling it from (8, 16) tiles with 7 conditional
+# shift passes, the reference planes are expanded into 16 x-phase copies
+# whose gather rows ARE whole (24-row x 16-col) unshifted patch columns:
+# row (px, y8, tx) holds plane[8*y8 : 8*y8+24, 16*tx+px : 16*tx+px+16]
+# flattened row-major (384 B).  A single jnp.take then fetches each block's
+# patch with the x offset already resolved; only the y%8 roll remains, done
+# in VMEM by the Pallas kernels (3 conditional rolls).  Memory cost: 48x
+# the plane per ref level (16 phases x 3-row overlap), ~0.5 GB total at
+# 1080p -- bought back many times over by the gather running at take()'s
+# full bandwidth with zero post-passes.  The reference stages the same
+# read through LDS per workgroup (GPU_kernels.cl:459-560).
+
+PHASE_ROWS = 24          # 3 vertically-overlapping 8-row tile rows
+PHASE_LANES = PHASE_ROWS * 16
+
+
+def build_phase_tables(ref_pad):
+    """ref_pad (R, PH, PW) u8 padded tile-aligned reference planes ->
+    (R*16*(TB+2)*TC, 128) u8 phase table: row (r, px, ty, tx) holds the
+    (8, 16) tile at plane[8*ty : 8*ty+8, 16*tx+px : 16*tx+px+16].  No
+    vertical duplication — phase_gather fetches the 3 vertically-adjacent
+    rows per patch (a 3x-row duplicating build costs 13 ms/frame of
+    concat bandwidth at 1080p; this one is a 16-phase slice + one tile
+    transpose, ~3 ms for all 3 refs)."""
+    R, PH, PW = ref_pad.shape
+    TB, TC = PH // 8, PW // 16
+    ext = jnp.pad(ref_pad, ((0, 0), (0, 16), (0, 15)), mode="edge")
+    ph = jnp.stack([ext[:, :, px:px + PW] for px in range(16)], axis=1)
+    t = ph.reshape(R, 16, TB + 2, 8, TC, 16).transpose(0, 1, 2, 4, 3, 5)
+    return t.reshape(R * 16 * (TB + 2) * TC, 128)
+
+
+def _gather_windows(tbl3, ref_pad, TB: int, TC: int, ridx, gy, gx):
+    """Gather (R, n) patch windows: from per-ref state tables when tbl3 is
+    given (3-tuple, each built with R=1), else from a per-frame R-stacked
+    table built from ref_pad (sharded strips / compat entries)."""
+    if tbl3 is None:
+        tbl = build_phase_tables(ref_pad)
+        return phase_gather(tbl, TB, TC, ridx, gy, gx)
+    raws, rys = [], []
+    zero = jnp.zeros(gy.shape[-1:], jnp.int32)
+    for r in range(len(tbl3)):
+        raw_r, ry_r = phase_gather(tbl3[r], TB, TC, zero, gy[r], gx[r])
+        raws.append(raw_r)
+        rys.append(ry_r)
+    return jnp.stack(raws), jnp.stack(rys)
+
+
+def phase_gather(tbl, TB: int, TC: int, pidx, gy, gx):
+    """tbl from build_phase_tables; pidx/gy/gx (..., n) i32 (gy/gx =
+    padded-coordinate patch top-left).  Returns (raw (..., n, 384) u8
+    patch rows starting at row gy - gy%8, col gx, and ry = gy%8 (..., n)
+    i32 — the row roll the Pallas kernel applies in VMEM).  The 3
+    vertically-adjacent tile rows land contiguously, so the post-take
+    reshape is layout-free and raw is the 24-row x 16-col row-major
+    patch."""
+    gy = jnp.clip(gy, 0, 8 * (TB - 3) + 7)
+    gx = jnp.clip(gx, 0, 16 * TC - 1)
+    y8, ry = gy // 8, gy % 8
+    tx, px = gx // 16, gx % 16
+    base = ((pidx * 16 + px) * (TB + 2) + y8) * TC + tx
+    tid3 = base[..., None] + jnp.arange(3) * TC          # (..., n, 3)
+    lead = base.shape
+    raw = jnp.take(tbl, tid3.reshape(-1), axis=0).reshape(*lead, PHASE_LANES)
+    return raw, jnp.broadcast_to(ry.astype(jnp.int32), lead)
 
 
 @lru_cache(maxsize=4)
@@ -263,8 +336,13 @@ def _plane_blocks8(plane):
     return b.reshape(*lead, nby * nbx, 8, 8).astype(jnp.int32)
 
 
+# below this many blocks the XLA formulation beats the Pallas kernel's
+# fixed costs (phase-table build + dispatch); at 1080p levels 0-2 are above
+_PALLAS_MIN_N = 1024
+
+
 def search_level(cur, ref_pad, pads, src_vec, pixel_rate: int, penalty: bool,
-                 row0=0, full_h: int = 0, src_off=0):
+                 row0=0, full_h: int = 0, src_off=0, tbl3=None):
     """cur (H, W) unpadded; ref_pad (R, PH, PW) padded; pads = (pad_y, pad_x).
     src_vec (R, nbyc, nbxc, 2) or None.  Returns (R, nby, nbx, 2) vectors
     in full-res pixel units.
@@ -301,36 +379,45 @@ def search_level(cur, ref_pad, pads, src_vec, pixel_rate: int, penalty: bool,
     # window 1 = +-2 around the inherited vector, window 2 = +-2 around
     # zero (the reference's rate>8 vector reset, GPU_kernels.cl:500) ---
     ridx = jnp.broadcast_to(jnp.arange(R)[:, None], (R, n))
-    patch1 = _tile_take_patch(ref_pad, ridx,
-                              cy[None] + v0y + (py0 - 2),
-                              cx[None] + v0x + (px0 - 2), 12, 12,
-                              as_flat=True)
-    zero = jnp.zeros((R, n), jnp.int32)
-    patch0 = _tile_take_patch(ref_pad, ridx, cy[None] + zero + (py0 - 2),
-                              cx[None] + zero + (px0 - 2), 12, 12,
-                              as_flat=True)
-
-    # all 50 candidates extracted + costed on the MXU; the (win, cand)
-    # ordering matches the old 25+25 concat so the earliest-minimum scan is
-    # unchanged.  On a real TPU the extraction/cost runs as one VMEM-
-    # resident Pallas kernel (ops/pallas_kernels.fullpel_costs) — the XLA
-    # formulation below materializes ~1.25 GB of candidate intermediates in
-    # HBM per 1080p frame and dominated device time.
-    patches = jnp.stack([patch1, patch0])              # (2, R, n, 384) u8
     from vp8oclenc_tpu.ops import pallas_kernels as PK
     pmode = PK.mode()
-    if pmode != "off" and R == 3:
-        # extraction + cost + penalty/validity + earliest-min select in one
-        # VMEM-resident kernel; row0 rides as a scalar so the row-sharded
-        # search uses the same kernel
+    zero = jnp.zeros((R, n), jnp.int32)
+    if pmode != "off" and R == 3 and n >= _PALLAS_MIN_N:
+        # phase-table gathers (whole unshifted patch rows); the y%8 roll +
+        # extraction + cost + penalty/validity + earliest-min select all
+        # happen in one VMEM-resident kernel; row0 rides as a scalar so
+        # the row-sharded search uses the same kernel.  tbl3 (one table
+        # per ref, built once per REFERENCE in the ref-state kernel) is
+        # used when given; otherwise the table is built here per frame.
+        PH, PW = ref_pad.shape[-2:]
+        TB, TC = PH // 8, PW // 16
+        raw1, ry1 = _gather_windows(tbl3, ref_pad, TB, TC, ridx,
+                                    cy[None] + v0y + (py0 - 2),
+                                    cx[None] + v0x + (px0 - 2))
+        raw0, ry0 = _gather_windows(tbl3, ref_pad, TB, TC, ridx,
+                                    cy[None] + zero + (py0 - 2),
+                                    cx[None] + zero + (px0 - 2))
         best_x, best_y = PK.fullpel_search50(
-            patches, cur_blocks.astype(jnp.uint8), v0.astype(jnp.int32),
+            jnp.stack([raw1, raw0]), jnp.stack([ry1, ry0]),
+            cur_blocks.astype(jnp.uint8), v0.astype(jnp.int32),
             row0, nbx, W, full_h, penalty,
             interpret=(pmode == "interpret"))
         vx = (best_x - cx[None]) * pixel_rate
         vy = (best_y - cy[None]) * pixel_rate
         return jnp.stack([vx, vy], axis=-1).reshape(R, nby, nbx, 2)
 
+    patch1 = _tile_take_patch(ref_pad, ridx,
+                              cy[None] + v0y + (py0 - 2),
+                              cx[None] + v0x + (px0 - 2), 12, 12,
+                              as_flat=True)
+    patch0 = _tile_take_patch(ref_pad, ridx, cy[None] + zero + (py0 - 2),
+                              cx[None] + zero + (px0 - 2), 12, 12,
+                              as_flat=True)
+
+    # all 50 candidates extracted + costed on the MXU (XLA fallback for
+    # CPU backend / R != 3); materializes ~1.25 GB of candidate
+    # intermediates in HBM per 1080p frame
+    patches = jnp.stack([patch1, patch0])              # (2, R, n, 384) u8
     cand = _const_matmul(patches, _sel25_matrix())      # (2, R, n, 1600) f32
     cur_t = jnp.tile(cur_blocks.astype(jnp.bfloat16), (1, 25))
     res = (cand.astype(jnp.bfloat16) - cur_t[None, None])
@@ -387,7 +474,8 @@ def _sixtap_interp8(sub, phase_x: int, phase_y: int):
     return jnp.concatenate(quads, axis=-2)
 
 
-def search_qpel(cur, ref_pad, pads, fullpel_vec, row0=0, full_h: int = 0):
+def search_qpel(cur, ref_pad, pads, fullpel_vec, row0=0, full_h: int = 0,
+                tbl3=None):
     """cur (H,W); ref_pad (R,PH,PW) padded; fullpel_vec (R, nby, nbx, 2).
     Returns (vectors (R,nby,nbx,2) qpel, Bdiff (R,nby,nbx),
     best_pred (R, n, 8, 8) — the winning candidate's interpolated block,
@@ -417,10 +505,6 @@ def search_qpel(cur, ref_pad, pads, fullpel_vec, row0=0, full_h: int = 0):
     # (interp apron -2..+3 per 4x4 half, +-1 fullpel candidate shift)
     fv = fullpel_vec.reshape(R, n, 2)
     ridx = jnp.broadcast_to(jnp.arange(R)[:, None], (R, n))
-    patch = _tile_take_patch(ref_pad, ridx,
-                             cy[None] // 4 + fv[..., 1] + (py0 - 3),
-                             cx[None] // 4 + fv[..., 0] + (px0 - 3), 17, 17,
-                             as_flat=True)
 
     # candidate 25: absolute zero MV, phase 0 -> plain block compare
     # (GPU_kernels.cl:1144-1150); ordered after the 25 refinement
@@ -430,13 +514,20 @@ def search_qpel(cur, ref_pad, pads, fullpel_vec, row0=0, full_h: int = 0):
 
     from vp8oclenc_tpu.ops import pallas_kernels as PK
     pmode = PK.mode()
-    if pmode != "off" and R == 3 and isinstance(row0, int) and row0 == 0 \
-            and full_h == H:
-        # Pallas: interpolation + cost + penalty/validity + first-min select
-        # of the 25 refinement candidates in one VMEM-resident kernel; the
-        # zero-MV candidate merges here
+    if pmode != "off" and R == 3 and n >= _PALLAS_MIN_N \
+            and isinstance(row0, int) and row0 == 0 and full_h == H:
+        # Pallas: y-roll alignment + interpolation + cost + penalty/
+        # validity + first-min select of the 25 refinement candidates in
+        # one VMEM-resident kernel over the phase-table gather (per-ref
+        # state tables when given, else built here); the zero-MV
+        # candidate merges here
+        PH, PW = ref_pad.shape[-2:]
+        TB, TC = PH // 8, PW // 16
+        raw, ry = _gather_windows(tbl3, ref_pad, TB, TC, ridx,
+                                  cy[None] // 4 + fv[..., 1] + (py0 - 3),
+                                  cx[None] // 4 + fv[..., 0] + (px0 - 3))
         cost25, idx25, pred25 = PK.qpel_search25(
-            patch, cur_blocks.astype(jnp.uint8), v0.astype(jnp.int32),
+            raw, ry, cur_blocks.astype(jnp.uint8), v0.astype(jnp.int32),
             nbx, W, full_h, interpret=(pmode == "interpret"))
         zcost = T.dct_cost_rows64(zero64.astype(jnp.bfloat16)
                                   - cur_blocks.astype(jnp.bfloat16)[None])
@@ -457,6 +548,10 @@ def search_qpel(cur, ref_pad, pads, fullpel_vec, row0=0, full_h: int = 0):
         # identical to the reference's per-candidate construct
         # (GPU_kernels.cl:563-774) and to the quadrant-wise construction
         # (tests/test_tpu_intra.py::test_sixtap_seamless_equals_quadrant).
+        patch = _tile_take_patch(ref_pad, ridx,
+                                 cy[None] // 4 + fv[..., 1] + (py0 - 3),
+                                 cx[None] // 4 + fv[..., 0] + (px0 - 3),
+                                 17, 17, as_flat=True)
         cur64 = cur_blocks.astype(jnp.bfloat16)
         FH, FV = _qpel_filter_matrices()
         rnd = lambda x: jnp.clip(jnp.floor((x + 64.0) * (1.0 / 128.0)), 0, 255)
@@ -502,14 +597,18 @@ def search_qpel(cur, ref_pad, pads, fullpel_vec, row0=0, full_h: int = 0):
             best_cost.reshape(R, nby, nbx), best_pred)
 
 
-def hierarchical_search(cur_pyr, ref_pyr, row0=0, full_h: int = 0):
+def hierarchical_search(cur_pyr, ref_pyr, row0=0, full_h: int = 0,
+                        tbls=None):
     """cur_pyr: list of (H_l, W_l) planes; ref_pyr: build_ref_pyramid output.
     Returns (vectors, Bdiff, best_pred) from the qpel stage.
 
     row0 (traced ok) / full_h (static): when cur_pyr holds the row shard of
     a `full_h`-tall frame starting at global row `row0` (both multiples of
     16), every level's candidate validity is evaluated in global frame
-    coordinates so the sharded result equals the single-chip kernel's."""
+    coordinates so the sharded result equals the single-chip kernel's.
+
+    tbls: optional per-level list (levels 0..2) of 3-tuples of per-ref
+    phase tables from the ref-state kernel (the Pallas gather path)."""
     vec = None
     for lvl, rate in ((4, 16), (3, 8), (2, 4), (1, 2)):
         h, w = cur_pyr[lvl].shape
@@ -519,11 +618,15 @@ def hierarchical_search(cur_pyr, ref_pyr, row0=0, full_h: int = 0):
         vec = search_level(cur_pyr[lvl], plane, pads, vec, rate,
                            penalty=(rate < 4),
                            row0=row0 >> lvl if full_h else 0,
-                           full_h=full_h >> lvl if full_h else 0)
+                           full_h=full_h >> lvl if full_h else 0,
+                           tbl3=tbls[lvl] if tbls and lvl < len(tbls)
+                           else None)
     plane, pads, _ = ref_pyr[0]
     vec = search_level(cur_pyr[0], plane, pads, vec, 1, penalty=True,
-                       row0=row0, full_h=full_h)
-    return search_qpel(cur_pyr[0], plane, pads, vec, row0=row0, full_h=full_h)
+                       row0=row0, full_h=full_h,
+                       tbl3=tbls[0] if tbls else None)
+    return search_qpel(cur_pyr[0], plane, pads, vec, row0=row0,
+                       full_h=full_h, tbl3=tbls[0] if tbls else None)
 
 
 def hierarchical_search_sharded(cur_pyr, cur_full2, ref_pyr, row0,
@@ -702,7 +805,7 @@ def _cachehook_build_inter_kernel(wrk_w: int, wrk_h: int,
 
     def body(y, u, v, ref_pyr, refs_u_pad, refs_v_pad, ref_valid,
              seg_y_dc, seg_y_ac, seg_y2_dc, seg_y2_ac, seg_uv_dc, seg_uv_ac,
-             ssim_target, row0=0):
+             ssim_target, row0=0, ref_tbls=None):
         """ref_pyr: build_ref_pyramid-format list; refs_*_pad: (3, PH, PW)
         padded chroma; ref_valid: (3,) bool; seg_*: (4,) int32."""
         cur_pyr = [y]
@@ -715,7 +818,8 @@ def _cachehook_build_inter_kernel(wrk_w: int, wrk_h: int,
             vecs, diffs, best_pred = hierarchical_search_sharded(
                 cur_pyr, cur_full2, ref_pyr, row0, full_h, "tile")
         else:
-            vecs, diffs, best_pred = hierarchical_search(cur_pyr, ref_pyr)
+            vecs, diffs, best_pred = hierarchical_search(cur_pyr, ref_pyr,
+                                                          tbls=ref_tbls)
 
         # reference selection (LAST <= ALTREF <= GOLDEN on ties)
         def mb_sum(d):
@@ -864,7 +968,7 @@ def _cachehook_build_inter_kernel(wrk_w: int, wrk_h: int,
                     seg_y_dc, seg_y_ac, seg_y2_dc, seg_y2_ac, seg_uv_dc,
                     seg_uv_ac, ssim_target)
 
-    def kernel_pyr(y, u, v, pyrs, u_pads, v_pads, ref_valid,
+    def kernel_pyr(y, u, v, pyrs, tbls, u_pads, v_pads, ref_valid,
                    seg_y_dc, seg_y_ac, seg_y2_dc, seg_y2_ac, seg_uv_dc,
                    seg_uv_ac, ssim_target):
         """Cached-pyramid entry: pyrs = 3-tuple (last/golden/altref) of
@@ -883,11 +987,12 @@ def _cachehook_build_inter_kernel(wrk_w: int, wrk_h: int,
             w //= 2
         refs_u_pad = jnp.stack(list(u_pads))
         refs_v_pad = jnp.stack(list(v_pads))
+        ref_tbls = [tuple(tbls[r][lvl] for r in range(3)) for lvl in range(3)]
         return body(y, u, v, ref_pyr, refs_u_pad, refs_v_pad, ref_valid,
                     seg_y_dc, seg_y_ac, seg_y2_dc, seg_y2_ac, seg_uv_dc,
-                    seg_uv_ac, ssim_target)
+                    seg_uv_ac, ssim_target, ref_tbls=ref_tbls)
 
-    def kernel_yuv(yuv, pyrs, u_pads, v_pads, ref_valid,
+    def kernel_yuv(yuv, pyrs, tbls, u_pads, v_pads, ref_valid,
                    seg_y_dc, seg_y_ac, seg_y2_dc, seg_y2_ac, seg_uv_dc,
                    seg_uv_ac, ssim_target):
         """Single-upload entry: yuv is the flat uint8 concatenation of the
@@ -898,7 +1003,7 @@ def _cachehook_build_inter_kernel(wrk_w: int, wrk_h: int,
         y = yuv[:ny].reshape(wrk_h, wrk_w)
         u = yuv[ny:ny + nc].reshape(wrk_h // 2, wrk_w // 2)
         v = yuv[ny + nc:].reshape(wrk_h // 2, wrk_w // 2)
-        return kernel_pyr(y, u, v, pyrs, u_pads, v_pads, ref_valid,
+        return kernel_pyr(y, u, v, pyrs, tbls, u_pads, v_pads, ref_valid,
                           seg_y_dc, seg_y_ac, seg_y2_dc, seg_y2_ac,
                           seg_uv_dc, seg_uv_ac, ssim_target)
 
@@ -938,10 +1043,13 @@ def _cachehook_build_inter_kernel(wrk_w: int, wrk_h: int,
 
 @lru_cache(maxsize=8)
 def _cachehook_build_ref_state_kernel(wrk_w: int, wrk_h: int):
-    """Per-reference device state: 5-level padded search pyramid + padded
-    chroma planes, built once when a frame becomes a reference (the
-    counterpart of the reference's per-ref pyramid buffers, vp8enc.h:216-295
-    and promotion copies inter_part.h:35-50)."""
+    """Per-reference device state: 5-level padded search pyramid, phase
+    tables for the Pallas search levels (0..2), and padded chroma planes,
+    built once when a frame becomes a reference (the counterpart of the
+    reference's per-ref pyramid buffers, vp8enc.h:216-295 and promotion
+    copies inter_part.h:35-50).  Building the tables HERE instead of in
+    the per-frame search program means GOLDEN/ALTREF amortize across
+    frames and LAST's build rides the filter chain."""
     @jax.jit
     def kern(ry, ru, rv):
         out = []
@@ -951,7 +1059,8 @@ def _cachehook_build_ref_state_kernel(wrk_w: int, wrk_h: int):
             if lvl < 4:
                 plane = downsample2(plane)
                 pad //= 2
-        return (tuple(out), _pad_tiles(ru, PAD_C_FULL, PAD_C_FULL),
+        tbls = tuple(build_phase_tables(out[lvl][None]) for lvl in range(3))
+        return (tuple(out), tbls, _pad_tiles(ru, PAD_C_FULL, PAD_C_FULL),
                 _pad_tiles(rv, PAD_C_FULL, PAD_C_FULL))
     return kern
 

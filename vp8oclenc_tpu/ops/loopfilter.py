@@ -220,7 +220,7 @@ def _cachehook_build_filter_from_meta_kernel(mbw: int, mbh: int):
     one device dispatch chain per frame instead of two executables with a
     layout boundary between them."""
     from vp8oclenc_tpu.ops.inter import (PAD_C_FULL, PAD_Y_FULL, _pad_tiles,
-                                         downsample2)
+                                         build_phase_tables, downsample2)
 
     @jax.jit
     def kernel(ry, ru, rv, levels_pack, meta, cur_ssim, lf):
@@ -243,8 +243,9 @@ def _cachehook_build_filter_from_meta_kernel(mbw: int, mbh: int):
             if lvl < 4:
                 plane = downsample2(plane)
                 pad //= 2
+        tbls = tuple(build_phase_tables(pyr[lvl][None]) for lvl in range(3))
         return ((fy, fu, fv),
-                (tuple(pyr), _pad_tiles(fu, PAD_C_FULL, PAD_C_FULL),
+                (tuple(pyr), tbls, _pad_tiles(fu, PAD_C_FULL, PAD_C_FULL),
                  _pad_tiles(fv, PAD_C_FULL, PAD_C_FULL)))
 
     return kernel

@@ -22,7 +22,7 @@ six-tap taps (|t|<=123) and weighted cost-matrix entries (|m*w|<=400, all
 integer products bounded well below 2^24 (weighted quadrant sums <= 13.9M),
 so each matmul result is the exact integer sum.  Bit-identity with the XLA
 path is enforced by tests/test_pallas_kernels.py (interpret mode) and TPU
-parity runs in tools/profile_inter.py.
+parity runs in tools/profile_inter_r5.py.
 
 Activation: real TPU backend by default; VP8TPU_PALLAS=0 disables,
 VP8TPU_PALLAS=interpret forces interpreter mode (CPU tests).
@@ -73,6 +73,25 @@ def _dotx(a, b):
                                precision=jax.lax.Precision.HIGHEST)
 
 
+def _row_roll(x, ry):
+    """In-VMEM y-alignment of phase-table patch rows: x (G, B, 384) i32
+    gathered 24-row x 16-col patches (ops/inter.phase_gather), ry (G, B)
+    i32 in 0..7.  Returns x rolled so lane l holds original lane
+    l + ry*16 — 3 conditional lane-rotates entirely in VMEM (the x offset
+    is already resolved by the 16-phase table).
+
+    Mosaic notes: rotates must be on 32-bit data (bf16 dynamic_rotate is
+    unimplemented) and the condition's minor dim must be inserted on i32
+    before comparing (i1 reshapes are unsupported).  Wrapped-around
+    garbage lands at lanes >= 384 - 112 = 272 and both consumers'
+    constant operators never read them (fullpel slices to 256 with last
+    used row 187; qpel's FH384 is zero past row 269)."""
+    for bit in (4, 2, 1):
+        cond = (ry & bit)[:, :, None] != 0
+        x = jnp.where(cond, pltpu.roll(x, 384 - bit * 16, axis=2), x)
+    return x
+
+
 def _seg_dot_u8chunks(absd_f32, seg_bf16):
     """Exact 16-lane segment sums of non-negative integer f32 values
     (< 2^24) as THREE one-pass bf16 matmuls against a 0/1 summing matrix:
@@ -121,12 +140,13 @@ def _seg_sum(n_in: int, width: int) -> np.ndarray:
 
 @lru_cache(maxsize=2)
 def _fullpel_consts():
-    """SMw (384, 1600): flat 12-row x 32-stride patch -> the 25 candidates'
-    weighted DCT-cost rows (selection matrix folded with _m64w); M64w for
-    the current block's side; quadrant/candidate summing matrices."""
-    W2 = 32
+    """SMw (256, 1600): flat 12-row x 16-stride patch (the first 256 lanes
+    of a row-rolled phase-table gather) -> the 25 candidates' weighted
+    DCT-cost rows (selection matrix folded with _m64w); M64w for the
+    current block's side; quadrant/candidate summing matrices."""
+    W2 = 16
     m64 = _m64w()
-    sm = np.zeros((12 * W2, 25 * 64), dtype=np.float32)
+    sm = np.zeros((256, 25 * 64), dtype=np.float32)
     for dxy in range(25):
         dx, dy = (dxy % 5) - 2, (dxy // 5) - 2
         for a in range(8):
@@ -143,7 +163,14 @@ def _qpel_consts():
     block-diagonal weighted cost operator, summing matrices, and the
     one-hot expand/collapse pair for winner-prediction extraction."""
     from vp8oclenc_tpu.ops.inter import _qpel_filter_matrices
-    FH, FV = _qpel_filter_matrices()
+    FH544, FV = _qpel_filter_matrices()
+    # remap FH from the XLA fallback's 17-row x 32-stride patch layout to
+    # the phase-table 24-row x 16-stride rows (384 lanes): used columns
+    # are <= 13 so nothing is lost; rows past 269 (incl. roll-wrapped
+    # garbage lanes >= 272) are zero
+    FH = np.zeros((384, FH544.shape[1]), dtype=np.float32)
+    for r in range(17):
+        FH[r * 16: r * 16 + 16] = FH544[r * 32: r * 32 + 16]
     m64 = _m64w()
     bd = np.zeros((1600, 1600), dtype=np.float32)
     for c in range(25):
@@ -165,48 +192,6 @@ def _qpel_consts():
 _B_FULLPEL = 128
 
 
-@lru_cache(maxsize=8)
-def _build_fullpel_call(n_pad: int, interpret: bool):
-    B = _B_FULLPEL
-    sm, m64, seg16, quad4 = _fullpel_consts()
-    # numpy here; converted to jnp per call site — jnp arrays created inside
-    # one jit trace and cached would leak tracers into later traces
-    consts_np = ((sm, jnp.bfloat16), (m64, jnp.bfloat16),
-                 (seg16, jnp.bfloat16), (quad4, jnp.float32))
-
-    def kernel(patch_ref, cur_ref, sm_ref, m64_ref, seg_ref, quad_ref,
-               out_ref):
-        p = _bf16(patch_ref[:].reshape(6 * B, 384))
-        x = _dot(p, sm_ref[:])                          # (6B, 1600) f32
-        cm = _dot(_bf16(cur_ref[:]), m64_ref[:])        # (B, 64) f32
-        cmt = jnp.tile(cm, (6, 25))                     # (6B, 1600)
-        s100 = _seg_dot_u8chunks(jnp.abs(x - cmt), seg_ref[:])  # (6B, 100)
-        q = (s100.astype(jnp.int32) >> COST_SHIFT).astype(jnp.float32)
-        costs = _dotx(q, quad_ref[:]).astype(jnp.int32)  # (6B, 25)
-        out_ref[:] = costs.reshape(2, 3, B, 25)
-
-    return pl.pallas_call(
-        kernel,
-        grid=(n_pad // B,),
-        out_shape=jax.ShapeDtypeStruct((2, 3, n_pad, 25), jnp.int32),
-        in_specs=[
-            pl.BlockSpec((2, 3, B, 384), lambda i: (0, 0, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, 64), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((384, 1600), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((64, 64), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1600, 100), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((100, 25), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((2, 3, B, 25), lambda i: (0, 0, i, 0),
-                               memory_space=pltpu.VMEM),
-        interpret=interpret,
-    ), consts_np
-
-
 _FP_BIG = np.int32(1 << 28)
 
 
@@ -218,16 +203,23 @@ def _build_fullpel_search_call(n_pad: int, nbx: int, W: int, full_h: int,
     this level's pixel units.  Candidate order [window1 0..24, window0
     0..24] with window-1 winning ties, exactly _select_first_min over the
     XLA stack.  row0 rides as a scalar input so the row-sharded search
-    works too."""
+    works too.
+
+    Inputs are phase-table patch rows (24 rows x 16-lane stride, see
+    ops/inter.phase_gather) plus per-block y%8 offsets; the row alignment
+    happens in VMEM (_row_roll) instead of as HBM-round-trip XLA
+    passes."""
     B = _B_FULLPEL
     sm, m64, seg16, quad4 = _fullpel_consts()
     consts_np = ((sm, jnp.bfloat16), (m64, jnp.bfloat16),
                  (seg16, jnp.bfloat16), (quad4, jnp.float32))
 
-    def kernel(row0_ref, patch_ref, cur_ref, v0_ref, sm_ref, m64_ref,
+    def kernel(row0_ref, raw_ref, ry_ref, cur_ref, v0_ref, sm_ref, m64_ref,
                seg_ref, quad_ref, out_ref):
         i = pl.program_id(0)
-        p = _bf16(patch_ref[:].reshape(6 * B, 384))
+        xr = raw_ref[:].astype(jnp.int32).reshape(6, B, 384)
+        xr = _row_roll(xr, ry_ref[:].reshape(6, B))
+        p = xr[:, :, :256].reshape(6 * B, 256).astype(jnp.bfloat16)
         x = _dot(p, sm_ref[:])                          # (6B, 1600) f32
         cm = _dot(_bf16(cur_ref[:]), m64_ref[:])        # (B, 64) f32
         cmt = jnp.tile(cm, (6, 25))
@@ -278,10 +270,12 @@ def _build_fullpel_search_call(n_pad: int, nbx: int, W: int, full_h: int,
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((2, 3, B, 384), lambda i: (0, 0, i, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, 3, B), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((B, 64), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((3, B, 2), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((384, 1600), lambda i: (0, 0),
+            pl.BlockSpec((256, 1600), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((64, 64), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1600, 100), lambda i: (0, 0),
@@ -296,47 +290,36 @@ def _build_fullpel_search_call(n_pad: int, nbx: int, W: int, full_h: int,
     return call, consts_np
 
 
-def fullpel_search50(patches, cur64, v0, row0, nbx: int, W: int,
+def fullpel_search50(raw, ry, cur64, v0, row0, nbx: int, W: int,
                      full_h: int, penalty: bool, interpret: bool = False):
-    """patches (2, 3, n, 384) u8; cur64 (n, 64) u8; v0 (3, n, 2) i32
-    inherited vectors (this level's pel units); row0 traced i32 scalar
-    (shard's global top row, 0 single-chip).  Returns (best_x, best_y)
-    (3, n) i32 absolute candidate positions — the earliest minimum of the
-    50-candidate dual-window search."""
+    """raw (2, 3, n, 384) u8 phase-table patch rows (ops/inter.
+    phase_gather at margin 2); ry (2, 3, n) i32 per-block y%8 offsets;
+    cur64 (n, 64) u8; v0 (3, n, 2) i32 inherited vectors (this level's
+    pel units); row0 traced i32 scalar (shard's global top row, 0
+    single-chip).  Returns (best_x, best_y) (3, n) i32 absolute candidate
+    positions — the earliest minimum of the 50-candidate dual-window
+    search."""
     from vp8oclenc_tpu.utils.hostconst import host_const
-    n = patches.shape[2]
+    n = raw.shape[2]
     n_pad = -(-n // _B_FULLPEL) * _B_FULLPEL
     if n_pad != n:
-        patches = jnp.pad(patches, ((0, 0), (0, 0), (0, n_pad - n), (0, 0)))
+        raw = jnp.pad(raw, ((0, 0), (0, 0), (0, n_pad - n), (0, 0)))
+        ry = jnp.pad(ry, ((0, 0), (0, 0), (0, n_pad - n)))
         cur64 = jnp.pad(cur64, ((0, n_pad - n), (0, 0)))
         v0 = jnp.pad(v0, ((0, 0), (0, n_pad - n), (0, 0)))
     call, consts_np = _build_fullpel_search_call(n_pad, nbx, W, full_h,
                                                  penalty, interpret)
-    out = call(jnp.asarray(row0, jnp.int32).reshape(1, 1), patches, cur64,
+    out = call(jnp.asarray(row0, jnp.int32).reshape(1, 1), raw,
+               ry.astype(jnp.int32), cur64,
                v0, *(host_const(a, d) for a, d in consts_np))[:, :n]
     return out[:, :, 0], out[:, :, 1]
-
-
-def fullpel_costs(patches, cur64, interpret: bool = False):
-    """patches (2, 3, n, 384) u8 flat 12x(32-stride) windows; cur64 (n, 64)
-    u8 current blocks -> (2, 3, n, 25) i32 candidate costs, bit-identical
-    to dct_cost_rows64(candidate - cur) of the XLA path."""
-    n = patches.shape[2]
-    n_pad = -(-n // _B_FULLPEL) * _B_FULLPEL
-    if n_pad != n:
-        patches = jnp.pad(patches, ((0, 0), (0, 0), (0, n_pad - n), (0, 0)))
-        cur64 = jnp.pad(cur64, ((0, n_pad - n), (0, 0)))
-    from vp8oclenc_tpu.utils.hostconst import host_const
-    call, consts_np = _build_fullpel_call(n_pad, interpret)
-    out = call(patches, cur64, *(host_const(a, d) for a, d in consts_np))
-    return out[:, :, :n] if n_pad != n else out
 
 
 # ---------------------------------------------------------------------------
 # quarter-pel interpolate + cost + first-min select kernel
 # ---------------------------------------------------------------------------
 
-_B_QPEL = 64
+_B_QPEL = 128          # lane dim of the offs BlockSpec must be 128-divisible
 _QPEL_BIG = np.int32(1 << 28)
 
 
@@ -359,10 +342,12 @@ def _build_qpel_call(n_pad: int, nbx: int, W: int, full_h: int,
     def rnd(x):
         return jnp.clip(jnp.floor((x + 64.0) * (1.0 / 128.0)), 0, 255)
 
-    def kernel(patch_ref, cur_ref, v0_ref, fh_ref, fv_ref, bd_ref, seg_ref,
-               quad_ref, exp_ref, col_ref, out_ref):
+    def kernel(raw_ref, ry_ref, cur_ref, v0_ref, fh_ref, fv_ref, bd_ref,
+               seg_ref, quad_ref, exp_ref, col_ref, out_ref):
         i = pl.program_id(0)
-        p = _bf16(patch_ref[:].reshape(3 * B, 544))
+        xr = raw_ref[:].astype(jnp.int32)               # (3, B, 384)
+        xr = _row_roll(xr, ry_ref[:])
+        p = xr.reshape(3 * B, 384).astype(jnp.bfloat16)
         h = rnd(_dot(p, fh_ref[:]))                     # (3B, 680)
         v = rnd(_dot(h.astype(jnp.bfloat16), fv_ref[:]))  # (3B, 1600) preds
 
@@ -413,12 +398,14 @@ def _build_qpel_call(n_pad: int, nbx: int, W: int, full_h: int,
         grid=(n_pad // B,),
         out_shape=jax.ShapeDtypeStruct((3, n_pad, 128), jnp.int32),
         in_specs=[
-            pl.BlockSpec((3, B, 544), lambda i: (0, i, 0),
+            pl.BlockSpec((3, B, 384), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, B), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((B, 64), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((3, B, 2), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((544, 680), lambda i: (0, 0),
+            pl.BlockSpec((384, 680), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((680, 1600), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -439,20 +426,22 @@ def _build_qpel_call(n_pad: int, nbx: int, W: int, full_h: int,
     ), consts_np
 
 
-def qpel_search25(patch, cur64, v0, nbx: int, W: int, full_h: int,
+def qpel_search25(raw, ry, cur64, v0, nbx: int, W: int, full_h: int,
                   interpret: bool = False):
-    """patch (3, n, 544) u8 flat 17x(32-stride) windows at fullpel base
-    c + v0 - 3; cur64 (n, 64) u8; v0 (3, n, 2) i32 qpel base vectors.
-    Returns (best_cost (3, n) i32 with penalty applied, best_idx (3, n),
+    """raw (3, n, 384) u8 phase-table patch rows (ops/inter.phase_gather
+    at fullpel base c + v0 - 3); ry (3, n) i32 per-block y%8 offsets;
+    cur64 (n, 64) u8; v0 (3, n, 2) i32 qpel base vectors.  Returns
+    (best_cost (3, n) i32 with penalty applied, best_idx (3, n),
     best_pred (3, n, 64) i32) over the 25 +-2-qpel candidates."""
-    n = patch.shape[1]
+    n = raw.shape[1]
     n_pad = -(-n // _B_QPEL) * _B_QPEL
     if n_pad != n:
-        patch = jnp.pad(patch, ((0, 0), (0, n_pad - n), (0, 0)))
+        raw = jnp.pad(raw, ((0, 0), (0, n_pad - n), (0, 0)))
+        ry = jnp.pad(ry, ((0, 0), (0, n_pad - n)))
         cur64 = jnp.pad(cur64, ((0, n_pad - n), (0, 0)))
         v0 = jnp.pad(v0, ((0, 0), (0, n_pad - n), (0, 0)))
     from vp8oclenc_tpu.utils.hostconst import host_const
     call, consts_np = _build_qpel_call(n_pad, nbx, W, full_h, interpret)
-    packed = call(patch, cur64, v0,
+    packed = call(raw, ry.astype(jnp.int32), cur64, v0,
                   *(host_const(a, d) for a, d in consts_np))[:, :n]
     return packed[:, :, 0], packed[:, :, 1], packed[:, :, 64:]

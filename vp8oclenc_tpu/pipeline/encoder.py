@@ -488,8 +488,7 @@ class Encoder:
                 if t is not None:
                     dev = put(t)
                     setattr(self.tpu, name, dev)
-                    pyr, u_pad, v_pad = kern(*dev)
-                    setattr(self.tpu, name + "_state", (pyr, u_pad, v_pad))
+                    setattr(self.tpu, name + "_state", kern(*dev))
         else:
             self.recon = [p.copy() for p in st["last"]]
             if st.get("golden") is not None:
