@@ -299,12 +299,26 @@ def intra_body(y, u, v, y_dc_q, y_ac_q, uv_dc_q, uv_ac_q,
     mbw, mbh = wrk_w // 16, wrk_h // 16
     mbc = mbw * mbh
 
-    recon_y = _luma_wavefront_sheared(y, w4, h4, y_dc_q, y_ac_q)
-    levels_y, modes = _luma_finalize(recon_y, y, w4, h4, y_dc_q, y_ac_q)
-
+    from vp8oclenc_tpu.ops import pallas_kernels as PK
+    pmode = PK.mode()
     uv = jnp.stack([u, v])
-    recon_uv = _chroma_wavefront_sheared(uv, mbw, mbh, uv_dc_q, uv_ac_q)
-    levels_uv = _chroma_finalize(recon_uv, uv, mbw, mbh, uv_dc_q, uv_ac_q)
+    if pmode != "off":
+        # one Pallas kernel per wavefront instead of D sequential XLA
+        # steps, with modes/levels emitted straight from the loop
+        # (~118 -> ~6 ms of device time per 1080p keyframe)
+        from vp8oclenc_tpu.ops.pallas_intra import (chroma_wavefront,
+                                                    luma_wavefront)
+        interp = pmode == "interpret"
+        recon_y, levels_y, modes = luma_wavefront(
+            y, w4, h4, y_dc_q, y_ac_q, interpret=interp)
+        recon_uv, levels_uv = chroma_wavefront(
+            uv, mbw, mbh, uv_dc_q, uv_ac_q, interpret=interp)
+    else:
+        recon_y = _luma_wavefront_sheared(y, w4, h4, y_dc_q, y_ac_q)
+        recon_uv = _chroma_wavefront_sheared(uv, mbw, mbh, uv_dc_q, uv_ac_q)
+        levels_y, modes = _luma_finalize(recon_y, y, w4, h4, y_dc_q, y_ac_q)
+        levels_uv = _chroma_finalize(recon_uv, uv, mbw, mbh, uv_dc_q,
+                                     uv_ac_q)
 
     # (mbc, 25, 16) packed levels (Y 16, U 4, V 4, Y2 zero) — the same
     # layout the inter path feeds to the wire kernel, so keyframes ride

@@ -269,42 +269,53 @@ class Encoder:
                 [padded.y.ravel(), padded.u.ravel(), padded.v.ravel()]))
         return padded, dev
 
-    def encode_frames(self, frames):
-        """Pipelined stream encode: the host entropy/packing of frame N-1
-        and the H2D upload of frame N+1 both overlap the device pixel
-        kernels of frame N (the TPU analog of the reference's
-        boolcoder-vs-GPU overlap, changelog.txt:29, plus tunnel-aware
-        upload prefetch)."""
+    def encode_frames(self, frames, depth: int = 3):
+        """Pipelined stream encode, `depth` frames in flight: the host
+        entropy/packing of frame N-depth and the H2D uploads of frames
+        N+1.. overlap the device pixel kernels of frame N (the TPU analog
+        of the reference's boolcoder-vs-GPU overlap, changelog.txt:29).
+        Finalizing `depth` frames behind dispatch gives each frame's
+        async D2H (ops/backend.py copy_to_host_async) time to land, so
+        the blocking readback usually finds the bytes already host-side
+        and pays no tunnel sync at all.
+
+        With -SSIM-target on, the redo-as-key check is speculative at
+        depth `depth`: a failed check rolls back to that frame's
+        snapshot, re-encodes it as a key, and re-dispatches every
+        in-flight successor against the corrected reference state —
+        output bytes are identical to the sequential encoder's."""
+        from collections import deque
         it = iter(frames)
-        pending = None           # (fd, seg) of frame N-1
-        f = next(it, None)
-        pre = self._upload_frame(f) if f is not None else None
-        while pre is not None:
-            nxt = self._frame_pixels(pre[0], yuv_dev=pre[1], padded=True)
-            cur_src = pre
-            f = next(it, None)
-            pre = self._upload_frame(f) if f is not None else None
-            if pending is not None:
-                if self._finalize_fd(pending[0], pending[1]):
-                    # SSIM redo-as-key (speculation failed, rare): roll
-                    # back to the pre-frame snapshot, re-encode N-1 as a
-                    # key, then re-dispatch the discarded frame N against
-                    # the corrected reference state
-                    fd2, seg2 = self._redo_as_key(pending[0])
-                    self._finalize_fd(fd2, seg2)
-                    yield self._finish_frame(fd2, seg2)
-                    nxt = self._frame_pixels(cur_src[0],
-                                             yuv_dev=cur_src[1], padded=True)
-                else:
-                    yield self._finish_frame(*pending)
-            pending = nxt
-        if pending is not None:
-            if self._finalize_fd(pending[0], pending[1]):
-                fd2, seg2 = self._redo_as_key(pending[0])
+        inflight = deque()       # (fd, seg, (padded, dev))
+        exhausted = False
+        while True:
+            while not exhausted and len(inflight) < depth:
+                f = next(it, None)
+                if f is None:
+                    exhausted = True
+                    break
+                pre = self._upload_frame(f)
+                fd, seg = self._frame_pixels(pre[0], yuv_dev=pre[1],
+                                             padded=True)
+                inflight.append((fd, seg, pre))
+            if not inflight:
+                break
+            fd, seg, _src = inflight.popleft()
+            if self._finalize_fd(fd, seg):
+                # SSIM redo-as-key (speculation failed, rare): roll back
+                # to the pre-frame snapshot, re-encode as a key, then
+                # re-dispatch every in-flight successor
+                fd2, seg2 = self._redo_as_key(fd)
                 self._finalize_fd(fd2, seg2)
                 yield self._finish_frame(fd2, seg2)
+                stale = list(inflight)
+                inflight.clear()
+                for _fd, _seg, s in stale:
+                    nfd, nseg = self._frame_pixels(s[0], yuv_dev=s[1],
+                                                   padded=True)
+                    inflight.append((nfd, nseg, s))
             else:
-                yield self._finish_frame(*pending)
+                yield self._finish_frame(fd, seg)
 
     def _finalize_fd(self, fd: FrameData, seg: SegmentData):
         """Materialize a lazy fd; returns truthy when the SSIM controller
