@@ -44,3 +44,25 @@ def test_chroma_wavefront_matches_sheared():
     got, got_lv = chroma_wavefront(uv, mbw, mbh, 12, 14, interpret=True)
     assert np.array_equal(np.asarray(got), np.asarray(want))
     assert np.array_equal(np.asarray(got_lv), np.asarray(want_lv))
+
+
+import os
+import pytest
+
+
+@pytest.mark.skipif(os.environ.get("VP8TPU_SLOW") != "1",
+                    reason="~5 min in interpreter mode; the compiled kernel "
+                           "is checked on-device by tools/tpu_parity.py "
+                           "(recorded in PARITY_TPU.json each bench run)")
+def test_trial_luma_matches_batched():
+    from vp8oclenc_tpu.ops.intra_replace import _trial_luma
+    from vp8oclenc_tpu.ops.pallas_intra import trial_luma
+    rng = np.random.default_rng(3)
+    mbc = 150                        # exercises the 128-lane pad tail
+    y_mb = jnp.asarray(rng.integers(0, 256, (mbc, 16, 16), np.int32))
+    ftop = jnp.asarray(rng.integers(0, 256, (mbc, 21), np.int32))
+    fleft = jnp.asarray(rng.integers(0, 256, (mbc, 16), np.int32))
+    want = _trial_luma(y_mb, ftop, fleft, 8, 10)
+    got = trial_luma(y_mb, ftop, fleft, 8, 10, interpret=True)
+    for a, b in zip(got, want):
+        assert np.array_equal(np.asarray(a), np.asarray(b))

@@ -211,10 +211,18 @@ def intra_replace_device(y, u, v, recon_y, recon_u, recon_v, cur_ssim,
     best_ru = jnp.zeros((mbc, 8, 8), jnp.int32)
     best_rv = jnp.zeros((mbc, 8, 8), jnp.int32)
 
+    from vp8oclenc_tpu.ops import pallas_kernels as PK
+    pmode = PK.mode()
+    if pmode != "off":
+        from vp8oclenc_tpu.ops.pallas_intra import trial_luma as _tl
+        luma_trial = lambda *a: _tl(*a, interpret=(pmode == "interpret"))
+    else:
+        luma_trial = _trial_luma
+
     for sid in (2, 1, 0):        # AQ -> HQ -> UQ (vp8enc.cpp:242-251)
         active = cur <= ssim_target
-        lv_y, md, ry_t = _trial_luma(y_mb, ftop, fleft,
-                                     seg_y_dc[sid], seg_y_ac[sid])
+        lv_y, md, ry_t = luma_trial(y_mb, ftop, fleft,
+                                    seg_y_dc[sid], seg_y_ac[sid])
         lv_u, ru_t = _trial_chroma(u_mb, utop, uleft, utl,
                                    seg_uv_dc[sid], seg_uv_ac[sid])
         lv_v, rv_t = _trial_chroma(v_mb, vtop, vleft, vtl,

@@ -381,6 +381,136 @@ def luma_wavefront(y, w4: int, h4: int, dc_q, ac_q, interpret: bool = False):
 
 
 # ---------------------------------------------------------------------------
+# batched frozen-neighbor B_PRED trial (the SSIM intra-replace controller's
+# luma re-encode, ops/intra_replace._trial_luma) — MBs ride the lane axis,
+# the in-MB 4x4 raster is a 16-step static unroll per grid step
+# ---------------------------------------------------------------------------
+
+
+@lru_cache(maxsize=8)
+def _build_trial_luma_call(G: int, interpret: bool):
+    LN = 128
+
+    def kernel(dcq_ref, acq_ref, src_ref, ftop_ref, fleft_ref,
+               rec_out, aux_out, rec_s):
+        dc_q = dcq_ref[0, 0]
+        ac_q = acq_ref[0, 0]
+        aux_rows = [None] * 272
+        for br in range(4):
+            for bc in range(4):
+                r0, c0 = br * 4, bc * 4
+                if br == 0:
+                    A = [ftop_ref[0, 1 + c0 + j] for j in range(8)]
+                else:
+                    a03 = [rec_s[r0 - 1, c0 + j] for j in range(4)]
+                    if bc < 3:
+                        a47 = [rec_s[r0 - 1, c0 + 4 + j] for j in range(4)]
+                    else:
+                        a47 = [ftop_ref[0, 17 + j] for j in range(4)]
+                    A = a03 + a47
+                if bc == 0:
+                    L = [fleft_ref[0, r0 + j] for j in range(4)]
+                else:
+                    L = [rec_s[r0 + j, c0 - 1] for j in range(4)]
+                if br == 0:
+                    P = ftop_ref[0, c0]
+                elif bc == 0:
+                    P = fleft_ref[0, r0 - 1]
+                else:
+                    P = rec_s[r0 - 1, c0 - 1]
+                src = [[src_ref[0, r0 + r, c0 + c] for c in range(4)]
+                       for r in range(4)]
+                preds = _bpred10(A, L, P)
+                best_cost = None
+                best_mode = jnp.zeros((LN,), jnp.int32)
+                for m in range(10):
+                    res = [[src[r][c] - preds[m][r][c] for c in range(4)]
+                           for r in range(4)]
+                    cost = _dct_weight_vec(res)
+                    if best_cost is None:
+                        best_cost = cost
+                    else:
+                        better = cost < best_cost
+                        best_cost = jnp.where(better, cost, best_cost)
+                        best_mode = jnp.where(better, m, best_mode)
+                pred = [[preds[0][r][c] for c in range(4)] for r in range(4)]
+                for m in range(1, 10):
+                    hit = best_mode == m
+                    for r in range(4):
+                        for c in range(4):
+                            pred[r][c] = jnp.where(hit, preds[m][r][c],
+                                                   pred[r][c])
+                res = [[src[r][c] - pred[r][c] for c in range(4)]
+                       for r in range(4)]
+                lv, dq = _quant_dequant4(_fdct4(res), dc_q, ac_q)
+                rr = _idct4(dq)
+                b16 = br * 4 + bc
+                for r in range(4):
+                    for c in range(4):
+                        rec_s[r0 + r, c0 + c] = jnp.clip(
+                            rr[r][c] + pred[r][c], 0, 255)
+                        aux_rows[b16 * 16 + r * 4 + c] = lv[r][c]
+                aux_rows[256 + b16] = best_mode
+        rec_out[0] = rec_s[:]
+        aux_out[0] = jnp.stack(aux_rows)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(G,),
+        out_shape=[jax.ShapeDtypeStruct((G, 16, 16, LN), jnp.int32),
+                   jax.ShapeDtypeStruct((G, 272, LN), jnp.int32)],
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 16, 16, LN), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 24, LN), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 16, LN), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[pl.BlockSpec((1, 16, 16, LN), lambda i: (i, 0, 0, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((1, 272, LN), lambda i: (i, 0, 0),
+                                memory_space=pltpu.VMEM)],
+        scratch_shapes=[pltpu.VMEM((16, 16, 128), jnp.int32)],
+        interpret=interpret,
+    )
+
+
+def trial_luma(y_mb, ftop, fleft, dc_q, ac_q, interpret: bool = False):
+    """Batched frozen-neighbor B_PRED re-encode of every MB at one
+    quantizer pair.  y_mb (mbc, 16, 16) i32; ftop (mbc, 21); fleft
+    (mbc, 16).  Returns (levels (mbc, 16, 16) zigzag i32, modes
+    (mbc, 16) i32, rec (mbc, 16, 16) i32) — bit-identical to
+    ops/intra_replace._trial_luma."""
+    from vp8oclenc_tpu.tables import ZIGZAG
+    mbc = y_mb.shape[0]
+    LN = 128
+    G = -(-mbc // LN)
+    pad = G * LN - mbc
+    if pad:
+        y_mb = jnp.pad(y_mb, ((0, pad), (0, 0), (0, 0)))
+        ftop = jnp.pad(ftop, ((0, pad), (0, 0)))
+        fleft = jnp.pad(fleft, ((0, pad), (0, 0)))
+    src = y_mb.reshape(G, LN, 16, 16).transpose(0, 2, 3, 1)
+    ft = jnp.pad(ftop, ((0, 0), (0, 3))).reshape(G, LN, 24) \
+        .transpose(0, 2, 1)
+    fl = fleft.reshape(G, LN, 16).transpose(0, 2, 1)
+    call = _build_trial_luma_call(G, interpret)
+    rec, aux = call(jnp.asarray(dc_q, jnp.int32).reshape(1, 1),
+                    jnp.asarray(ac_q, jnp.int32).reshape(1, 1),
+                    src.astype(jnp.int32), ft.astype(jnp.int32),
+                    fl.astype(jnp.int32))
+    rec = rec.transpose(0, 3, 1, 2).reshape(G * LN, 16, 16)[:mbc]
+    aux = aux.transpose(0, 2, 1).reshape(G * LN, 272)[:mbc]
+    lev = aux[:, :256].reshape(mbc, 16, 16)
+    lev = lev[:, :, jnp.asarray(np.asarray(ZIGZAG))]
+    modes = aux[:, 256:272]
+    return lev, modes, rec
+
+
+# ---------------------------------------------------------------------------
 # chroma TM_PRED wavefront (U and V batched on the leading axis)
 # ---------------------------------------------------------------------------
 
