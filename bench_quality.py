@@ -77,19 +77,29 @@ def main(argv=None):
     ap.add_argument("--hd", action="store_true",
                     help="append a 1280x720 full-feature row (BASELINE "
                          "config 3) to the existing bench_quality.json")
+    ap.add_argument("--hd1080", action="store_true",
+                    help="append a 1920x1080 full-feature 8-frame row "
+                         "(the headline resolution; pinned by "
+                         "tests/test_quality_curve.py)")
     args = ap.parse_args(argv)
 
-    if args.hd:
-        w, h = 1280, 720
-        frames = synth_sequence(w, h, 4)
-        row = run_config("full_720p_q12-40",
+    if args.hd or args.hd1080:
+        if args.hd1080:
+            w, h, n, name = 1920, 1080, 8, "full_1080p_q12-40"
+        else:
+            w, h, n, name = 1280, 720, 4, "full_720p_q12-40"
+        frames = synth_sequence(w, h, n)
+        row = run_config(name,
                          dict(qi_min=12, qi_max=40, gop_size=100,
                               altref_range=5, ssim_target=0.93),
                          frames, w, h, args.backend, decode_frames=1)
         with open("bench_quality.json") as fh:
             out = json.load(fh)
-        out["hd_rows"] = [dict(row, size="1280x720", frames=4,
-                               backend=args.backend)]
+        rows = [r for r in out.get("hd_rows", [])
+                if r["config"] != name]
+        rows.append(dict(row, size=f"{w}x{h}", frames=n,
+                         backend=args.backend))
+        out["hd_rows"] = rows
         with open("bench_quality.json", "w") as fh:
             json.dump(out, fh, indent=1)
         print(json.dumps(out["hd_rows"]))

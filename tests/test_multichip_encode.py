@@ -104,3 +104,44 @@ def test_multichip_nonsquare_partitions_promotion():
     assert len(got) == n
     for i, (a, b) in enumerate(zip(want, got)):
         assert a == b, f"frame {i}: {len(a)}B vs {len(b)}B"
+
+
+import os
+import pytest
+
+
+@pytest.mark.skipif(os.environ.get("VP8TPU_SLOW") != "1",
+                    reason="~14 min on the virtual CPU mesh; last recorded "
+                           "run committed as MULTICHIP_4K_r05.json")
+def test_4k_executes_end_to_end():
+    """BASELINE config 5 / VERDICT r4 #6: one real 3840x2176 keyframe plus
+    one inter frame through the sharded (gop, tile) step, decoder
+    validated."""
+    import numpy as np
+    from vp8oclenc_tpu.config import EncoderConfig
+    from vp8oclenc_tpu.decoder.vp8dec import VP8Decoder
+    from vp8oclenc_tpu.io.y4m import Frame
+    from vp8oclenc_tpu.parallel.encoder import encode_frames_multichip
+    from vp8oclenc_tpu.parallel.mesh import make_mesh
+
+    W, H = 3840, 2176
+    mesh = make_mesh(8, gop=4, tile=2)
+    rng = np.random.default_rng(0)
+    yy, xx = np.mgrid[0:H + 8, 0:W + 8]
+    base = (128 + 60 * np.sin(xx / 37.0) * np.cos(yy / 29.0))
+    base = (base + rng.integers(0, 24, base.shape)).clip(0, 255) \
+        .astype(np.uint8)
+    frames = []
+    for t in range(2):
+        y = np.ascontiguousarray(base[t * 2:t * 2 + H, t * 4:t * 4 + W])
+        u = np.ascontiguousarray(base[t:t + H // 2, t:t + W // 2] // 2 + 60)
+        v = np.ascontiguousarray(base[t + 2:t + 2 + H // 2,
+                                      t:t + W // 2] // 2 + 50)
+        frames.append(Frame(y, u, v))
+    cfg = EncoderConfig(qi_min=12, qi_max=40, gop_size=2, altref_range=2)
+    payloads = encode_frames_multichip(cfg, frames, W, H, mesh)
+    assert len(payloads) == 2 and all(len(p) > 1000 for p in payloads)
+    dec = VP8Decoder()
+    for p in payloads:
+        img = dec.decode_frame(p)
+    assert img.y.shape == (H, W)

@@ -47,3 +47,25 @@ def test_quality_curve_intra_row(recorded):
 
 def test_quality_curve_full_row(recorded):
     _run_row(recorded, "full_q24-63")
+
+
+def test_quality_curve_1080p_hd_row(recorded):
+    """Pins the headline-resolution full-feature row (VERDICT r4 #9).
+    Recorded on the real TPU; re-measured here on the CPU jax path —
+    the streams are bit-identical across backends, so the numbers must
+    match exactly (tolerances only cover rounding)."""
+    import sys
+    sys.path.insert(0, ROOT)
+    from bench_quality import run_config, synth_sequence
+
+    row = next(r for r in recorded["hd_rows"]
+               if r["config"] == "full_1080p_q12-40")
+    w, h = (int(t) for t in row["size"].split("x"))
+    frames = synth_sequence(w, h, row["frames"], seed=0)
+    cfg = {k: row[k] for k in ("qi_min", "qi_max", "gop_size",
+                               "altref_range", "ssim_target")}
+    got = run_config(row["config"], cfg, frames, w, h, backend="tpu",
+                     decode_frames=1)
+    assert abs(got["kbps"] - row["kbps"]) <= 0.005 * row["kbps"], (got, row)
+    assert abs(got["psnr"] - row["psnr"]) <= 0.05, (got, row)
+    assert abs(got["ssim"] - row["ssim"]) <= 0.003, (got, row)

@@ -35,7 +35,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from vp8oclenc_tpu.tables import (COSPI8SQRT2MINUS1, COST_SHIFT,
-                                  SINPI8SQRT2)
+                                  SINPI8SQRT2, ZIGZAG)
 
 # tables.COST_C — the kron factor of COST_M16 (cost = |C4 X C4^T|·w >> 9)
 _C4 = ((8, 8, 8, 8), (10, 4, -4, -10), (8, -8, -8, 8), (4, -10, 10, -4))

@@ -107,6 +107,18 @@ class MultiChipEncoder:
         self.shells = [Encoder(cfg, width, height, backend="spec")
                        for _ in range(self.G)]
         self._pool = None
+        # lockstep-waste accounting (VERDICT r4 #8): device lane-steps
+        # whose outputs are dropped (padded lanes, short-lane repeats,
+        # non-redo lanes of a redo step — the last now skipped on device)
+        self.lockstep_stats = {"lane_steps": 0, "wasted_padded": 0,
+                               "wasted_short": 0, "redo_steps": 0,
+                               "redo_skipped_lanes": 0}
+
+    def lockstep_waste(self) -> float:
+        """Fraction of device lane-steps whose outputs were dropped."""
+        s = self.lockstep_stats
+        total = max(s["lane_steps"], 1)
+        return (s["wasted_padded"] + s["wasted_short"]) / total
 
     def _executor(self):
         if self._pool is None:
@@ -131,16 +143,21 @@ class MultiChipEncoder:
 
         return jax.tree.map(sel, a, b)
 
-    def _run_key_step(self, frames_g, segs_key):
-        """Device keyframes for all lanes: frames_g list of G padded Frames,
-        segs_key list of G key SegmentData.  Returns (heads, bodies, modes,
-        strips)."""
+    def _run_key_step(self, frames_g, segs_key, need=None):
+        """Device keyframes: frames_g list of G padded Frames, segs_key
+        list of G key SegmentData, need optional (G,) bool lane mask —
+        masked-off lanes skip the key encode entirely on device (their
+        outputs are zeros the caller never reads).  Returns (heads,
+        bodies, modes, levels, strips)."""
         qs = np.stack([
             np.array([int(s.y_dc_q[0]), int(s.y_ac_q[0]),
                       int(s.uv_dc_q[0]), int(s.uv_ac_q[0])], np.int32)
             for s in segs_key])
         lf = np.stack([_lf_stack(s)[0] for s in segs_key])
+        if need is None:
+            need = np.ones(self.G, bool)
         heads, bodies, modes, lv_dev, _recon, strips = self.kstep(
+            self._place(list(np.asarray(need, bool)), nd_rep=0),
             self._place([f.y for f in frames_g]),
             self._place([f.u for f in frames_g]),
             self._place([f.v for f in frames_g]),
@@ -224,6 +241,8 @@ class MultiChipEncoder:
         tfx3 = target_fx(cfg.ssim_target) if self.ssim_on else -1
 
         # ---- frame 0: keyframes on device (sharded intra wavefront) ----
+        self.lockstep_stats["lane_steps"] += G
+        self.lockstep_stats["wasted_padded"] += G - n_real
         frames0 = [gops[g][0] for g in range(G)]
         segs_key = [prepare_segments(cfg, f.y, True, True) for f in frames0]
         heads, bodies, modes, klv, strips = self._run_key_step(
@@ -243,6 +262,10 @@ class MultiChipEncoder:
 
         # ---- inter frames in lockstep ----
         for i in range(1, L):
+            self.lockstep_stats["lane_steps"] += G
+            self.lockstep_stats["wasted_padded"] += G - n_real
+            self.lockstep_stats["wasted_short"] += sum(
+                1 for g in range(n_real) if i >= len(gops[g]))
             cur = [gops[g][min(i, len(gops[g]) - 1)] for g in range(G)]
             is_altref_l, segs_l, lf_l, rv_l = [], [], [], []
             for g in range(G):
@@ -300,13 +323,18 @@ class MultiChipEncoder:
                 fds[g] = (fd, seg)
 
             if any(redo):
-                # re-encode the failing lanes' frames as keyframes on
-                # device; other lanes' outputs are computed and dropped
+                # re-encode ONLY the failing lanes' frames as keyframes on
+                # device (the lane mask is a real branch at one lane per
+                # device; non-redo lanes' devices idle instead of burning
+                # a discarded key wavefront)
+                self.lockstep_stats["redo_steps"] += 1
+                self.lockstep_stats["redo_skipped_lanes"] += \
+                    G - int(np.sum(redo))
                 segs_redo = [prepare_segments(
                     cfg, cur[g].y, True, True,
                     strength=segs_l[g][0].raw_strength) for g in range(G)]
                 kh, kb, kmodes, klv2, kstrips = self._run_key_step(
-                    cur, segs_redo)
+                    cur, segs_redo, need=np.array(redo))
                 for g in range(G):
                     if not redo[g]:
                         continue
@@ -346,9 +374,12 @@ class MultiChipEncoder:
         return payloads[:n_real]
 
 
-def encode_frames_multichip(cfg, frames, width, height, mesh):
+def encode_frames_multichip(cfg, frames, width, height, mesh,
+                            return_encoder=False):
     """Encode a frame sequence over the mesh; returns per-frame payloads in
-    stream order (concatenating the independent GOP streams)."""
+    stream order (concatenating the independent GOP streams).  With
+    return_encoder=True also returns the MultiChipEncoder (lockstep-waste
+    stats etc.)."""
     gops = plan_gops(cfg, frames, width, height)
     enc = MultiChipEncoder(cfg, width, height, mesh)
     out = []
@@ -356,4 +387,4 @@ def encode_frames_multichip(cfg, frames, width, height, mesh):
     for k in range(0, len(gops), G):
         for stream in enc.encode_gop_batch(gops[k:k + G]):
             out.extend(stream)
-    return out
+    return (out, enc) if return_encoder else out

@@ -87,18 +87,33 @@ def main():
         job = pickle.load(fh)
     from vp8oclenc_tpu.config import EncoderConfig
     from vp8oclenc_tpu.parallel.multihost import read_frame_range
-    from vp8oclenc_tpu.pipeline.encoder import Encoder
 
     cfg = EncoderConfig(**job["cfg"])
     out = []
-    for first, count in job["ranges"]:
-        frames, w, h = read_frame_range(job["y4m"], first, count)
-        # each GOP starts at a keyframe: a fresh Encoder at a forced key
-        # reproduces the sequential stream for the range exactly
-        enc = Encoder(cfg, w, h, backend=job["backend"])
-        enc.frames_until_key = 1
-        for f in frames:
-            out.append(enc.encode_frame(f))
+    if job["backend"] == "mesh":
+        # the real per-host design: this host's chips form a local
+        # (gop, tile) mesh and every range runs the sharded multichip
+        # step (ICI collectives stay host-local; only payloads leave)
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_num_cpu_devices", job.get("mesh_devices", 4))
+        from vp8oclenc_tpu.parallel.mesh import make_mesh
+        from vp8oclenc_tpu.parallel.encoder import encode_frames_multichip
+        nd = job.get("mesh_devices", 4)
+        mesh = make_mesh(nd, gop=max(1, nd // 2), tile=2 if nd > 1 else 1)
+        for first, count in job["ranges"]:
+            frames, w, h = read_frame_range(job["y4m"], first, count)
+            out.extend(encode_frames_multichip(cfg, frames, w, h, mesh))
+    else:
+        from vp8oclenc_tpu.pipeline.encoder import Encoder
+        for first, count in job["ranges"]:
+            frames, w, h = read_frame_range(job["y4m"], first, count)
+            # each GOP starts at a keyframe: a fresh Encoder at a forced
+            # key reproduces the sequential stream for the range exactly
+            enc = Encoder(cfg, w, h, backend=job["backend"])
+            enc.frames_until_key = 1
+            for f in frames:
+                out.append(enc.encode_frame(f))
     with open({out!r}, "wb") as fh:
         for p in out:
             fh.write(len(p).to_bytes(4, "little"))

@@ -281,7 +281,20 @@ def sharded_key_step(wrk_w: int, wrk_h: int, ntile: int, axis: str = "tile"):
     mbh_global = wrk_h // 16
     mbc_loc = mbw * mbh_local
 
-    def fn(y, u, v, qs, lf):
+    def fn(need, y, u, v, qs, lf):
+        """need: lane-local scalar bool — when False the whole key encode
+        is skipped via lax.cond (all outputs zero; the caller's lane mask
+        drops them).  All tile shards of one gop lane share `need`, so
+        the branch is collective-consistent; at one-lane-per-device
+        batching this is a REAL device branch (no wasted key wavefronts
+        on non-redo lanes, VERDICT r4 #8)."""
+        body = lambda: _key_body(y, u, v, qs, lf)
+        shapes = jax.eval_shape(body)
+        zeros = lambda: jax.tree.map(
+            lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+        return jax.lax.cond(need, body, zeros)
+
+    def _key_body(y, u, v, qs, lf):
         yf = jax.lax.all_gather(y, axis, axis=0, tiled=True)
         uf = jax.lax.all_gather(u, axis, axis=0, tiled=True)
         vf = jax.lax.all_gather(v, axis, axis=0, tiled=True)
@@ -384,13 +397,18 @@ def build_tile_key_step(mesh, wrk_w: int, wrk_h: int):
     ntile = mesh.shape["tile"]
     per_shard = sharded_key_step(wrk_w, wrk_h, ntile)
 
-    def local(y, u, v, qs, lf):
-        return jax.vmap(per_shard)(y, u, v, qs, lf)
+    def local(need, y, u, v, qs, lf):
+        if y.shape[0] == 1:
+            # one gop lane per device: keep the lane mask a REAL runtime
+            # branch (vmap would lower the cond to a both-branches select)
+            out = per_shard(need[0], y[0], u[0], v[0], qs[0], lf[0])
+            return jax.tree.map(lambda a: a[None], out)
+        return jax.vmap(per_shard)(need, y, u, v, qs, lf)
 
     g = P("gop", "tile", None)
     strip_specs = jax.tree.map(
         lambda _: g, build_ref_strips_example_structure())
-    in_specs = (g, g, g, P("gop", None), P("gop", None, None))
+    in_specs = (P("gop"), g, g, g, P("gop", None), P("gop", None, None))
     out_specs = (P("gop", "tile"), P("gop", "tile"),
                  P("gop", "tile", None), P("gop", "tile", None, None),
                  (g, g, g), strip_specs)
