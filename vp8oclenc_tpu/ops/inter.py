@@ -672,12 +672,11 @@ def mc_predict_selected(refs_pad, pads, mvs, sel, mb_idx, q_idx, scale: int,
                         H: int, W: int):
     """Single-pass chroma MC from the per-MB *selected* reference.
 
-    refs_pad (3, PH, PW) padded; sel (mbc,) in 0..2; mvs (mbc, 4, 2) in
+    refs_pad (R, PH, PW) padded; sel (mbc,) in 0..R-1; mvs (mbc, 4, 2) in
     quarter-pel (luma) units; per 4x4 block a (9,9) six-tap source patch is
     fetched with one tile-row take from the selected ref."""
     py0, px0 = pads
     nbx = W // 4
-    n = (H // 4) * nbx
     bx = jnp.tile(jnp.arange(nbx), H // 4)
     by = jnp.repeat(jnp.arange(H // 4), nbx)
     v = mvs[mb_idx, q_idx]                              # (n, 2)
@@ -696,6 +695,44 @@ def mc_predict_selected(refs_pad, pads, mvs, sel, mb_idx, q_idx, scale: int,
     blocks = sum(h[:, k:k + 4, :] * ty[:, k, None, None] for k in range(6))
     blocks = jnp.clip((blocks + 64) >> 7, 0, 255)
     return blocks.reshape(H // 4, nbx, 4, 4).swapaxes(1, 2).reshape(H, W)
+
+
+def mc_predict_selected_uv(refs_u_pad, refs_v_pad, pads, mvs, sel, mb_idx,
+                           q_idx, scale: int, H: int, W: int):
+    """U and V chroma MC as ONE gather+interp chain: the planes stack to
+    (6, PH, PW) and the V jobs address plane sel+3, so the take, the
+    shift passes and the tap selects all run once over 2n blocks instead
+    of twice over n (each pass has fixed per-op cost on TPU)."""
+    py0, px0 = pads
+    refs6 = jnp.concatenate([refs_u_pad, refs_v_pad], axis=0)
+    nbx = W // 4
+    bx = jnp.tile(jnp.arange(nbx), H // 4)
+    by = jnp.repeat(jnp.arange(H // 4), nbx)
+    bx2 = jnp.concatenate([bx, bx])
+    by2 = jnp.concatenate([by, by])
+    mb2 = jnp.concatenate([mb_idx, mb_idx])
+    q2 = jnp.concatenate([q_idx, q_idx])
+    n = bx.shape[0]
+    sel_blk = sel[mb2].astype(jnp.int32) \
+        + jnp.concatenate([jnp.zeros(n, jnp.int32),
+                           jnp.full(n, 3, jnp.int32)])
+    v = mvs[mb2, q2]                                    # (2n, 2)
+    ax = bx2 * 4 * scale + v[:, 0]
+    ay = by2 * 4 * scale + v[:, 1]
+    fy, fx = ay // scale, ax // scale
+    phy = (ay % scale) * (8 // scale)
+    phx = (ax % scale) * (8 // scale)
+    patch = _tile_take_patch(refs6, sel_blk, fy + (py0 - 2),
+                             fx + (px0 - 2), 9, 9).astype(jnp.int32)
+    tx = _taps_select(phx)
+    h = sum(patch[:, :, k:k + 4] * tx[:, k, None, None] for k in range(6))
+    h = jnp.clip((h + 64) >> 7, 0, 255)
+    ty = _taps_select(phy)
+    blocks = sum(h[:, k:k + 4, :] * ty[:, k, None, None] for k in range(6))
+    blocks = jnp.clip((blocks + 64) >> 7, 0, 255)
+    planes = blocks.reshape(2, H // 4, nbx, 4, 4).swapaxes(2, 3) \
+        .reshape(2, H, W)
+    return planes[0], planes[1]
 
 
 # ---------------------------------------------------------------------------
@@ -850,10 +887,9 @@ def _cachehook_build_inter_kernel(wrk_w: int, wrk_h: int,
         pred_y = _blocks8_to_plane(pred_b, nby, nbx)
 
         cpads = (PAD_C_FULL, PAD_C_FULL)
-        pred_u = mc_predict_selected(refs_u_pad, cpads, mvs, ref_sel, cmb, cq,
-                                     8, wrk_h // 2, wrk_w // 2)
-        pred_v = mc_predict_selected(refs_v_pad, cpads, mvs, ref_sel, cmb, cq,
-                                     8, wrk_h // 2, wrk_w // 2)
+        pred_u, pred_v = mc_predict_selected_uv(
+            refs_u_pad, refs_v_pad, cpads, mvs, ref_sel,
+            jnp.asarray(cmb), jnp.asarray(cq), 8, wrk_h // 2, wrk_w // 2)
 
         res_y = _mb_blocks_luma(y.astype(jnp.int32) - pred_y, mbw, mbh)
         res_u = _mb_blocks_chroma(u.astype(jnp.int32) - pred_u, mbw, mbh)
