@@ -668,6 +668,35 @@ def hierarchical_search_sharded(cur_pyr, cur_full2, ref_pyr, row0,
 # motion compensation (chroma; luma prediction comes fused from search_qpel)
 # ---------------------------------------------------------------------------
 
+def _sixtap_blocks_flat(patch_flat, tx, ty):
+    """Per-4x4-block six-tap interpolation on FLAT patch rows.
+
+    patch_flat (n, 288) u8: a 9-row x 4-used-col patch stored at 32-lane
+    row stride (_tile_take_patch as_flat with ph=9, pw=9 -> W2=32; rows
+    0..8 live at lanes r*32 + c).  tx/ty (n, 6) int32 per-block taps.
+    Returns (n, 4, 4) int32 interpolated blocks.
+
+    All six-tap passes are full-lane-width shifted adds over the flat
+    axis — the (n, 9, 4)-minor formulation this replaces tiled each
+    4-wide slice to 128 lanes (32x physical inflation) and made chroma
+    MC one of the largest items of the fused inter program."""
+    W2 = 32
+    L = patch_flat.shape[-1]
+    x = patch_flat.astype(jnp.int32)
+    sl = lambda a, k, n: jax.lax.slice_in_dim(a, k, k + n, axis=-1)
+    # H pass: h[r*32+j] = sum_k patch[r*32+j+k]*tx[k], j <= 3 used
+    # (j+k <= 8 < 32 never crosses a row boundary)
+    hL = L - 5
+    h = sum(sl(x, k, hL) * tx[:, k, None] for k in range(6))
+    h = jnp.clip((h + 64) >> 7, 0, 255)
+    # V pass: v[r*32+j] = sum_k h[(r+k)*32+j]*ty[k], r, j <= 3 used
+    # (length 3*W2+4 covers lane 3*32+3; k=5 reads h up to lane 259 < hL)
+    vL = 3 * W2 + 4
+    v = sum(sl(h, k * W2, vL) * ty[:, k, None] for k in range(6))
+    v = jnp.clip((v + 64) >> 7, 0, 255)
+    return jnp.stack([sl(v, r * W2, 4) for r in range(4)], axis=-2)
+
+
 def mc_predict_selected(refs_pad, pads, mvs, sel, mb_idx, q_idx, scale: int,
                         H: int, W: int):
     """Single-pass chroma MC from the per-MB *selected* reference.
@@ -686,14 +715,9 @@ def mc_predict_selected(refs_pad, pads, mvs, sel, mb_idx, q_idx, scale: int,
     phy = (ay % scale) * (8 // scale)
     phx = (ax % scale) * (8 // scale)
     patch = _tile_take_patch(refs_pad, sel[mb_idx].astype(jnp.int32),
-                             fy + (py0 - 2), fx + (px0 - 2), 9, 9) \
-        .astype(jnp.int32)
-    tx = _taps_select(phx)
-    h = sum(patch[:, :, k:k + 4] * tx[:, k, None, None] for k in range(6))
-    h = jnp.clip((h + 64) >> 7, 0, 255)
-    ty = _taps_select(phy)
-    blocks = sum(h[:, k:k + 4, :] * ty[:, k, None, None] for k in range(6))
-    blocks = jnp.clip((blocks + 64) >> 7, 0, 255)
+                             fy + (py0 - 2), fx + (px0 - 2), 9, 9,
+                             as_flat=True)
+    blocks = _sixtap_blocks_flat(patch, _taps_select(phx), _taps_select(phy))
     return blocks.reshape(H // 4, nbx, 4, 4).swapaxes(1, 2).reshape(H, W)
 
 
@@ -723,13 +747,8 @@ def mc_predict_selected_uv(refs_u_pad, refs_v_pad, pads, mvs, sel, mb_idx,
     phy = (ay % scale) * (8 // scale)
     phx = (ax % scale) * (8 // scale)
     patch = _tile_take_patch(refs6, sel_blk, fy + (py0 - 2),
-                             fx + (px0 - 2), 9, 9).astype(jnp.int32)
-    tx = _taps_select(phx)
-    h = sum(patch[:, :, k:k + 4] * tx[:, k, None, None] for k in range(6))
-    h = jnp.clip((h + 64) >> 7, 0, 255)
-    ty = _taps_select(phy)
-    blocks = sum(h[:, k:k + 4, :] * ty[:, k, None, None] for k in range(6))
-    blocks = jnp.clip((blocks + 64) >> 7, 0, 255)
+                             fx + (px0 - 2), 9, 9, as_flat=True)
+    blocks = _sixtap_blocks_flat(patch, _taps_select(phx), _taps_select(phy))
     planes = blocks.reshape(2, H // 4, nbx, 4, 4).swapaxes(2, 3) \
         .reshape(2, H, W)
     return planes[0], planes[1]

@@ -279,43 +279,65 @@ class Encoder:
         the blocking readback usually finds the bytes already host-side
         and pays no tunnel sync at all.
 
+        Uploads run on ONE background thread: jnp.asarray of a 1080p
+        frame blocks its caller for the full wire time of ~3 MB
+        (~70-150 ms through the tunnel), which previously serialized
+        with the blocking readback + host entropy in this loop even at
+        depth 3.  The thread keeps the link busy while the main thread
+        finalizes; frame order is preserved by a FIFO of futures.
+
         With -SSIM-target on, the redo-as-key check is speculative at
         depth `depth`: a failed check rolls back to that frame's
         snapshot, re-encodes it as a key, and re-dispatches every
         in-flight successor against the corrected reference state —
         output bytes are identical to the sequential encoder's."""
         from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
         it = iter(frames)
         inflight = deque()       # (fd, seg, (padded, dev))
+        uploads = deque()        # futures of _upload_frame, frame order
         exhausted = False
-        while True:
-            while not exhausted and len(inflight) < depth:
+        pool = ThreadPoolExecutor(max_workers=1)
+        try:
+            for _ in range(depth + 1):
                 f = next(it, None)
                 if f is None:
                     exhausted = True
                     break
-                pre = self._upload_frame(f)
-                fd, seg = self._frame_pixels(pre[0], yuv_dev=pre[1],
-                                             padded=True)
-                inflight.append((fd, seg, pre))
-            if not inflight:
-                break
-            fd, seg, _src = inflight.popleft()
-            if self._finalize_fd(fd, seg):
-                # SSIM redo-as-key (speculation failed, rare): roll back
-                # to the pre-frame snapshot, re-encode as a key, then
-                # re-dispatch every in-flight successor
-                fd2, seg2 = self._redo_as_key(fd)
-                self._finalize_fd(fd2, seg2)
-                yield self._finish_frame(fd2, seg2)
-                stale = list(inflight)
-                inflight.clear()
-                for _fd, _seg, s in stale:
-                    nfd, nseg = self._frame_pixels(s[0], yuv_dev=s[1],
-                                                   padded=True)
-                    inflight.append((nfd, nseg, s))
-            else:
-                yield self._finish_frame(fd, seg)
+                uploads.append(pool.submit(self._upload_frame, f))
+            while True:
+                while uploads and len(inflight) < depth:
+                    pre = uploads.popleft().result()
+                    if not exhausted:
+                        f = next(it, None)
+                        if f is None:
+                            exhausted = True
+                        else:
+                            uploads.append(
+                                pool.submit(self._upload_frame, f))
+                    fd, seg = self._frame_pixels(pre[0], yuv_dev=pre[1],
+                                                 padded=True)
+                    inflight.append((fd, seg, pre))
+                if not inflight:
+                    break
+                fd, seg, _src = inflight.popleft()
+                if self._finalize_fd(fd, seg):
+                    # SSIM redo-as-key (speculation failed, rare): roll
+                    # back to the pre-frame snapshot, re-encode as a key,
+                    # then re-dispatch every in-flight successor
+                    fd2, seg2 = self._redo_as_key(fd)
+                    self._finalize_fd(fd2, seg2)
+                    yield self._finish_frame(fd2, seg2)
+                    stale = list(inflight)
+                    inflight.clear()
+                    for _fd, _seg, s in stale:
+                        nfd, nseg = self._frame_pixels(s[0], yuv_dev=s[1],
+                                                       padded=True)
+                        inflight.append((nfd, nseg, s))
+                else:
+                    yield self._finish_frame(fd, seg)
+        finally:
+            pool.shutdown(wait=True)
 
     def _finalize_fd(self, fd: FrameData, seg: SegmentData):
         """Materialize a lazy fd; returns truthy when the SSIM controller
