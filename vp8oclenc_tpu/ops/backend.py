@@ -18,6 +18,22 @@ from vp8oclenc_tpu.tables import ALTREF, GOLDEN, LAST
 
 from functools import partial
 
+# One background thread materializes each frame's combined head+body D2H as
+# soon as the device chain is dispatched: np.asarray(combined) blocks for
+# device completion + the full wire time of the transfer (~25-60 ms at
+# 1080p through the tunnel), and paying that inside finalize serialized it
+# with the host entropy/packing of neighbouring frames.  A single worker
+# keeps fetches in dispatch order.
+_FETCH_POOL = None
+
+
+def _fetch_async(arr):
+    global _FETCH_POOL
+    if _FETCH_POOL is None:
+        from concurrent.futures import ThreadPoolExecutor
+        _FETCH_POOL = ThreadPoolExecutor(max_workers=1)
+    return _FETCH_POOL.submit(np.asarray, arr)
+
 
 @partial(jax.jit, static_argnums=1)
 def _slice_bucket(body, size: int):
@@ -132,12 +148,13 @@ class TPUBackend:
                 buf.copy_to_host_async()
             except AttributeError:
                 pass
+        fetch = _fetch_async(combined)
 
         self.last = filtered
         self.last_state = filtered_state
         self.pending = None
         self.filtered = True
-        return (combined, bucket, body, levels_pack, modes), PendingRecon(self)
+        return (fetch, bucket, body, levels_pack, modes), PendingRecon(self)
 
     # -------------------------------------------------- inter
     def encode_inter_frame(self, enc, y, u, v, seg, is_golden, is_altref,
@@ -227,6 +244,7 @@ class TPUBackend:
             combined.copy_to_host_async()
         except AttributeError:
             pass
+        fetch = _fetch_async(combined)
 
         replaced = 0
         self.last = filtered
@@ -239,7 +257,7 @@ class TPUBackend:
             modes=np.zeros((mbc, 16), dtype=np.int8),
             is_inter=np.ones(mbc, dtype=bool), ref_frame=None, mvs=None,
             replaced=replaced)
-        fd.device_outputs = (combined, bucket, body, levels_pack, modes4)
+        fd.device_outputs = (fetch, bucket, body, levels_pack, modes4)
         fd.weak_seg = weak
         enc.recon = PendingRecon(self)
         return fd
@@ -255,11 +273,11 @@ class TPUBackend:
         from vp8oclenc_tpu.ops.wire import (head_size, unpack_head,
                                             unpack_levels, unpack_modes4)
         from vp8oclenc_tpu.tables import ARE4X4
-        combined, bucket, body, levels_pack, modes4 = fd.device_outputs
+        fetch, bucket, body, levels_pack, modes4 = fd.device_outputs
         fd.device_outputs = None
         mbc = self.mbc
         hs = head_size(mbc)
-        combined_np = np.asarray(combined)        # the frame's one D2H
+        combined_np = fetch.result()              # the frame's one D2H
         info = unpack_head(combined_np[:hs], mbc)
         if info["esc_overflow"]:
             # >ESC_SLOTS escape coefficients in one MB: full int16 levels
